@@ -1,0 +1,199 @@
+"""Numpy PCNN relation classifier (SURVEY.md §2 B4).
+
+Architecture per Zeng et al., EMNLP 2015 §3: word embedding ⊕ two
+relative-position embeddings → 1-D convolution (window 3, same
+padding) → piecewise max-pooling over the three segments cut at the
+head/tail entity positions → tanh → linear softmax over the relation
+inventory (NA at index 0).
+
+Torch is not available in this environment (SURVEY.md §7), so both the
+forward pass (used inside the Spark scoring UDF on executors) and the
+backward pass (used only by the offline trainer, kg/train.py) are
+plain numpy. The forward pass is fully vectorized over the batch —
+zero per-row Python — which is exactly what the Arrow-batched UDF
+needs (BASELINE.json:15 "no per-row Python").
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+from kg import spec
+
+N_POS = 2 * spec.POS_MAX + 1          # relative-position buckets
+IN_DIM = spec.EMB_DIM + 2 * spec.POS_DIM
+COL_DIM = spec.CONV_WINDOW * IN_DIM
+N_REL = len(spec.RELATIONS)
+
+_NEG = -1e30
+
+
+def init_params(seed: int = spec.MODEL_SEED) -> dict[str, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    vocab_size = len(spec.vocabulary())
+
+    def glorot(*shape):
+        lim = np.sqrt(6.0 / sum(shape))
+        return rng.uniform(-lim, lim, size=shape).astype(np.float32)
+
+    p = {
+        "E_word": (0.1 * rng.standard_normal((vocab_size, spec.EMB_DIM))
+                   ).astype(np.float32),
+        "E_p1": (0.1 * rng.standard_normal((N_POS, spec.POS_DIM))
+                 ).astype(np.float32),
+        "E_p2": (0.1 * rng.standard_normal((N_POS, spec.POS_DIM))
+                 ).astype(np.float32),
+        "W_conv": glorot(COL_DIM, spec.N_FILTERS),
+        "b_conv": np.zeros(spec.N_FILTERS, dtype=np.float32),
+        "W_out": glorot(3 * spec.N_FILTERS, N_REL),
+        "b_out": np.zeros(N_REL, dtype=np.float32),
+    }
+    p["E_word"][0] = 0.0  # <pad> embedding pinned to zero
+    return p
+
+
+def pad_batch(
+    token_ids: list[list[int]], heads: list[int], tails: list[int],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Truncate to MAX_LEN, pad to the batch max. Returns
+    (ids[B,T] int32, head[B], tail[B], length[B])."""
+    L = spec.MAX_LEN
+    lens = np.array([min(len(t), L) for t in token_ids], dtype=np.int32)
+    T = max(int(lens.max()), spec.CONV_WINDOW) if len(lens) else 1
+    ids = np.zeros((len(token_ids), T), dtype=np.int32)
+    for i, t in enumerate(token_ids):
+        ids[i, :lens[i]] = t[:lens[i]]
+    h = np.minimum(np.asarray(heads, dtype=np.int32), lens - 1)
+    t_ = np.minimum(np.asarray(tails, dtype=np.int32), lens - 1)
+    return ids, h, t_, lens
+
+
+def _embed(p, ids, heads, tails):
+    B, T = ids.shape
+    idx = np.arange(T, dtype=np.int32)[None, :]
+    r1 = np.clip(idx - heads[:, None], -spec.POS_MAX, spec.POS_MAX) + spec.POS_MAX
+    r2 = np.clip(idx - tails[:, None], -spec.POS_MAX, spec.POS_MAX) + spec.POS_MAX
+    X = np.concatenate(
+        [p["E_word"][ids], p["E_p1"][r1], p["E_p2"][r2]], axis=-1)
+    return X, r1, r2
+
+
+def _im2col(X: np.ndarray) -> np.ndarray:
+    """(B,T,D) → (B,T,W*D) windows with same-padding (pad (W-1)//2)."""
+    B, T, D = X.shape
+    w = spec.CONV_WINDOW
+    pad = (w - 1) // 2
+    Xp = np.pad(X, ((0, 0), (pad, pad), (0, 0)))
+    cols = np.empty((B, T, w, D), dtype=X.dtype)
+    for k in range(w):
+        cols[:, :, k, :] = Xp[:, k:k + T, :]
+    return cols.reshape(B, T, w * D)
+
+
+def _segment_masks(T, heads, tails, lens):
+    idx = np.arange(T, dtype=np.int32)[None, :]
+    p1 = np.minimum(heads, tails)[:, None]
+    p2 = np.maximum(heads, tails)[:, None]
+    valid = idx < lens[:, None]
+    m1 = (idx <= p1) & valid
+    m2 = (idx > p1) & (idx <= p2) & valid
+    m3 = (idx > p2) & valid
+    return np.stack([m1, m2, m3], axis=1)  # (B,3,T)
+
+
+def forward(p, ids, heads, tails, lens, want_cache=False):
+    """Returns softmax probabilities (B, N_REL); with want_cache, also
+    the intermediates needed for backward."""
+    X, r1, r2 = _embed(p, ids, heads, tails)
+    cols = _im2col(X)                                 # (B,T,COL)
+    conv = cols @ p["W_conv"] + p["b_conv"]           # (B,T,F)
+    masks = _segment_masks(ids.shape[1], heads, tails, lens)
+    cm = np.where(masks[:, :, :, None], conv[:, None, :, :], _NEG)  # (B,3,T,F)
+    arg = cm.argmax(axis=2)                           # (B,3,F)
+    pooled = np.take_along_axis(cm, arg[:, :, None, :], axis=2)[:, :, 0, :]
+    pooled = np.where(pooled <= _NEG / 2, 0.0, pooled)  # empty segment → 0
+    g = np.tanh(pooled.reshape(len(ids), -1))         # (B,3F)
+    logits = g @ p["W_out"] + p["b_out"]
+    z = logits - logits.max(axis=1, keepdims=True)
+    ez = np.exp(z)
+    probs = ez / ez.sum(axis=1, keepdims=True)
+    if not want_cache:
+        return probs
+    return probs, {"X": X, "r1": r1, "r2": r2, "cols": cols, "arg": arg,
+                   "pooled": pooled, "g": g, "ids": ids, "masks": masks}
+
+
+def backward(p, cache, probs, labels):
+    """Cross-entropy gradient for every parameter. Mean over batch."""
+    B, T, _ = cache["X"].shape
+    F_ = spec.N_FILTERS
+    dlogits = probs.copy()
+    dlogits[np.arange(B), labels] -= 1.0
+    dlogits /= B
+    g = cache["g"]
+    grads = {
+        "W_out": g.T @ dlogits,
+        "b_out": dlogits.sum(axis=0),
+    }
+    dg = dlogits @ p["W_out"].T                        # (B,3F)
+    dpooled = (dg * (1.0 - g * g)).reshape(B, 3, F_)
+    # scatter back through the piecewise argmax (only where segment
+    # was non-empty: pooled stayed > _NEG/2 there)
+    nonempty = cache["masks"].any(axis=2)              # (B,3)
+    dpooled = dpooled * nonempty[:, :, None]
+    dconv = np.zeros((B, T, F_), dtype=np.float32)
+    b_idx = np.arange(B)[:, None, None]
+    s_idx = np.arange(3)[None, :, None]
+    f_idx = np.arange(F_)[None, None, :]
+    np.add.at(dconv, (b_idx + 0 * s_idx, cache["arg"], f_idx + 0 * s_idx),
+              dpooled)
+    grads["W_conv"] = cache["cols"].reshape(-1, COL_DIM).T @ dconv.reshape(-1, F_)
+    grads["b_conv"] = dconv.sum(axis=(0, 1))
+    dcols = (dconv @ p["W_conv"].T).reshape(B, T, spec.CONV_WINDOW, IN_DIM)
+    # fold the window offsets back onto dX (inverse of _im2col)
+    pad = (spec.CONV_WINDOW - 1) // 2
+    dXp = np.zeros((B, T + 2 * pad, IN_DIM), dtype=np.float32)
+    for k in range(spec.CONV_WINDOW):
+        dXp[:, k:k + T, :] += dcols[:, :, k, :]
+    dX = dXp[:, pad:pad + T, :]
+    dE_word = np.zeros_like(p["E_word"])
+    np.add.at(dE_word, cache["ids"], dX[:, :, :spec.EMB_DIM])
+    dE_word[0] = 0.0
+    dE_p1 = np.zeros_like(p["E_p1"])
+    np.add.at(dE_p1, cache["r1"],
+              dX[:, :, spec.EMB_DIM:spec.EMB_DIM + spec.POS_DIM])
+    dE_p2 = np.zeros_like(p["E_p2"])
+    np.add.at(dE_p2, cache["r2"], dX[:, :, spec.EMB_DIM + spec.POS_DIM:])
+    grads.update({"E_word": dE_word, "E_p1": dE_p1, "E_p2": dE_p2})
+    return grads
+
+
+def predict(p, token_ids, heads, tails) -> tuple[np.ndarray, np.ndarray]:
+    """Inference entry for the scoring UDF: returns (pred_label[B],
+    prob_of_pred[B]). Fully vectorized."""
+    ids, h, t, lens = pad_batch(token_ids, heads, tails)
+    probs = forward(p, ids, h, t, lens)
+    lab = probs.argmax(axis=1)
+    return lab, probs[np.arange(len(lab)), lab]
+
+
+def save_params(path: str, p: dict[str, np.ndarray]) -> None:
+    np.savez_compressed(path, **p)
+
+
+def load_params(path: str) -> dict[str, np.ndarray]:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def params_to_bytes(p: dict[str, np.ndarray]) -> bytes:
+    buf = io.BytesIO()
+    np.savez_compressed(buf, **p)
+    return buf.getvalue()
+
+
+def params_from_bytes(b: bytes) -> dict[str, np.ndarray]:
+    with np.load(io.BytesIO(b)) as z:
+        return {k: z[k] for k in z.files}
