@@ -1,0 +1,51 @@
+"""spark-submit entrypoint (SURVEY.md §3.1; BASELINE.json:14).
+
+    spark-submit --py-files kg.zip kg/main.py \
+        --input  /path/or/catalog.db.transcripts \
+        --output /path/or/catalog.db \
+        [--checkpoint /path/ckpt] [--resume] [--buckets 64]
+
+``--resume`` is implied whenever a checkpoint manifest for the same
+input snapshot exists — committed buckets are never recomputed.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from kg import io
+from kg.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description="kg triple-extraction pipeline")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--resume", action="store_true",
+                    help="(informational; resume is automatic when the "
+                         "manifest matches the input snapshot)")
+    args = ap.parse_args(argv)
+
+    from kg import pipeline  # after session deps
+
+    spark = get_spark(app_name="kg-pipeline")
+    t0 = io.read_table(spark, args.input)
+    out = pipeline.run(spark, t0, checkpoint_root=args.checkpoint,
+                       n_buckets=args.buckets)
+    sep = "." if io.is_iceberg(args.output) else "/"
+    io.write_table(out["triples"], f"{args.output}{sep}triples")
+    io.write_table(
+        out["adjacency"].repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 4), "subj"),
+        f"{args.output}{sep}adjacency")
+    n = spark.read.parquet(f"{args.output}{sep}triples").count() \
+        if not io.is_iceberg(args.output) else \
+        spark.table(f"{args.output}{sep}triples").count()
+    print(f"triples committed: {n}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Pipeline composition (SURVEY.md §3.1): pure DataFrame functions,
+A1 → B1..B5 → C1..C4 → D1..D3, lazily composed; optional checkpointed
+execution for kill/resume (E2/A5).
+
+Dataflow at scale (the plan you'd want on 1000 executors):
+
+    scan T0 (pruned to conv_id, turn_idx, text)
+      → mapInPandas extract (B1–B3; narrow, no shuffle)
+      → mapInPandas score   (B4; narrow, broadcast model, Arrow-capped)
+      → 2 × broadcast join  (B5 dictionary linking; no shuffle)
+      → [distinct norms → minhash/LSH/CC — tiny side plan on the
+         dictionary-miss tail only]
+      → groupBy(subj,pred,obj) agg (D2; the ONE unavoidable shuffle,
+        map-side combined)
+      → groupBy(subj) agg (D3; second shuffle, key-clustered sink)
+
+The extraction path is shuffle-free: per-turn work needs no
+co-location, so 10^12 turns parallelize embarrassingly; the only
+exchanges are the final aggregations over already-tiny triple
+occurrences.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kg import spec
+from kg.stages import canon, checkpoint, extract, link, score, triples
+
+
+def resolve_entities(scored: DataFrame, dict_df: DataFrame,
+                     canonicalize_tail: bool = True) -> DataFrame:
+    """B5 + C1–C4: exact-dictionary linking (broadcast joins), then
+    long-tail canonicalization of dictionary-miss norms via
+    minhash/LSH + connected components."""
+    linked = link.link_instances(scored, dict_df)
+    if not canonicalize_tail:
+        return (linked
+                .withColumn("head_entity",
+                            F.coalesce("head_entity", "head_norm"))
+                .withColumn("tail_entity",
+                            F.coalesce("tail_entity", "tail_norm")))
+    missed = (linked.where(F.col("head_entity").isNull())
+              .select(F.col("head_norm").alias("norm"))
+              .union(linked.where(F.col("tail_entity").isNull())
+                     .select(F.col("tail_norm").alias("norm")))
+              .distinct())
+    mapping = canon.canonicalize_norms(missed, dict_df)
+    # the dictionary-miss tail is small by construction → broadcast
+    h = F.broadcast(mapping.select(F.col("norm").alias("head_norm"),
+                                   F.col("entity").alias("_h_ent")))
+    t = F.broadcast(mapping.select(F.col("norm").alias("tail_norm"),
+                                   F.col("entity").alias("_t_ent")))
+    return (linked.join(h, "head_norm", "left").join(t, "tail_norm", "left")
+            .withColumn("head_entity",
+                        F.coalesce("head_entity", "_h_ent", "head_norm"))
+            .withColumn("tail_entity",
+                        F.coalesce("tail_entity", "_t_ent", "tail_norm"))
+            .drop("_h_ent", "_t_ent"))
+
+
+def extract_and_score(spark: SparkSession, transcripts: DataFrame,
+                      weights_bc=None,
+                      threshold: float = spec.REL_THRESHOLD) -> DataFrame:
+    if weights_bc is None:
+        weights_bc = score.broadcast_weights(spark)
+    instances = extract.extract_instances(transcripts)
+    return score.score_instances(instances, weights_bc, threshold=threshold)
+
+
+def run(spark: SparkSession, transcripts: DataFrame,
+        weights_bc=None, checkpoint_root: str | None = None,
+        n_buckets: int = 16) -> dict[str, DataFrame]:
+    """The full pipeline. Returns {'triples': T8, 'adjacency': T9,
+    'scored': T4}. With ``checkpoint_root``, extraction+scoring runs
+    under the bucket-commit protocol and a rerun resumes from the
+    manifest (E2/A5)."""
+    if weights_bc is None:
+        weights_bc = score.broadcast_weights(spark)
+
+    def _extract_fn(df: DataFrame) -> DataFrame:
+        return extract_and_score(spark, df, weights_bc)
+
+    if checkpoint_root:
+        snap = snapshot_id_of(transcripts)
+        scored_df = checkpoint.run_checkpointed(
+            spark, checkpoint_root, "scored", snap, transcripts,
+            _extract_fn, bucket_key="conv_id", n_buckets=n_buckets)
+    else:
+        scored_df = _extract_fn(transcripts)
+
+    dict_df = link.dictionary_df(spark)
+    resolved = resolve_entities(scored_df, dict_df)
+    raw = triples.emit_triples(resolved)
+    t8 = triples.dedup_aggregate(raw)
+    t9 = triples.build_adjacency(t8)
+    return {"scored": scored_df, "triples": t8, "adjacency": t9}
+
+
+def snapshot_id_of(df: DataFrame) -> str:
+    """Deterministic input snapshot id: hash of the input file list
+    (the Parquet stand-in for an Iceberg snapshot id)."""
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        files = []
+    basis = "|".join(files) or df.schema.simpleString()
+    return hashlib.sha256(basis.encode()).hexdigest()[:16]

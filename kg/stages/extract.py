@@ -1,0 +1,86 @@
+"""B1–B3 — tokenize, detect mentions, build classifier instances
+(SURVEY.md §2 B). One Arrow round-trip: a single ``mapInPandas`` does
+tokenize → gazetteer scan → intra-turn pair combinatorics per batch,
+so each turn's text crosses the JVM↔Python boundary exactly once.
+
+The gazetteer is rebuilt from :mod:`kg.spec` on each executor process
+(module-level cache — shipped via --py-files, zero serialization), per
+SURVEY.md §2 B2. No per-row Python at the DataFrame level
+(BASELINE.json:15); inside the batch the scan is a tight tokens loop —
+the same cost class as any tokenizer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from kg import schemas
+
+
+def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # imports inside the worker: keeps the closure tiny
+    from kg import nlp, spec
+
+    cols = ["conv_id", "turn_idx", "head_surface", "tail_surface",
+            "head_norm", "tail_norm", "head_mtype", "tail_mtype",
+            "token_ids", "head_pos", "tail_pos"]
+    for pdf in it:
+        rows: list[tuple] = []
+        for conv_id, turn_idx, text in zip(
+                pdf["conv_id"].to_numpy(), pdf["turn_idx"].to_numpy(),
+                pdf["text"].to_numpy()):
+            toks = spec.tokenize(text or "")
+            mens = nlp.find_mentions(toks)
+            if len(mens) < 2:
+                continue
+            for p in nlp.pair_instances(toks, mens):
+                rows.append((conv_id, int(turn_idx),
+                             p["head_surface"], p["tail_surface"],
+                             p["head_norm"], p["tail_norm"],
+                             p["head_mtype"], p["tail_mtype"],
+                             p["token_ids"], p["head_pos"], p["tail_pos"]))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_instances(transcripts: DataFrame) -> DataFrame:
+    """T0 → T3 (mention-pair instances). Narrow projection first so
+    only (conv_id, turn_idx, text) reaches Python."""
+    narrow = transcripts.select("conv_id", "turn_idx", "text")
+    return narrow.mapInPandas(_extract_batches, schema=schemas.MENTION_PAIRS)
+
+
+def _mention_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from kg import nlp, spec
+
+    cols = ["conv_id", "turn_idx", "surface", "norm",
+            "span_start", "span_end", "mtype"]
+    for pdf in it:
+        rows: list[tuple] = []
+        for conv_id, turn_idx, text in zip(
+                pdf["conv_id"].to_numpy(), pdf["turn_idx"].to_numpy(),
+                pdf["text"].to_numpy()):
+            for m in nlp.find_mentions(spec.tokenize(text or "")):
+                rows.append((conv_id, int(turn_idx), m["surface"],
+                             m["norm"], m["span_start"], m["span_end"],
+                             m["mtype"]))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def detect_mentions(transcripts: DataFrame) -> DataFrame:
+    """T0 → T2 (standalone B2 surface, used by canonicalization and
+    tests). mention_id is a deterministic hash — NOT
+    monotonically_increasing_id, which is partition-layout-dependent."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([f for f in schemas.MENTIONS.fields
+                               if f.name != "mention_id"])
+    df = (transcripts.select("conv_id", "turn_idx", "text")
+          .mapInPandas(_mention_batches, schema=out_schema))
+    return df.withColumn(
+        "mention_id",
+        F.xxhash64("conv_id", "turn_idx", "span_start")).select(
+        [f.name for f in schemas.MENTIONS.fields])

@@ -1,0 +1,92 @@
+"""B4 — relation scoring with the broadcast numpy PCNN
+(SURVEY.md §2 B4; Zeng et al. 2015).
+
+Spark-first design: the frozen weights are ``sparkContext.broadcast``
+ONCE per job as compressed npz bytes; each executor's Python workers
+unpack them on first batch and keep them module-cached for the rest of
+the process lifetime ("broadcast model per executor",
+BASELINE.json:6). Scoring is a ``mapInPandas`` over Arrow batches —
+the forward pass is a fully vectorized numpy matmul chain, zero
+per-row Python. Batch size is capped via
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (kg.session) so long
+transcripts cannot blow Python-worker memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from kg import model, schemas, spec
+
+#: relation → required (head_mtype, tail_mtype); typed precision filter
+TYPE_SIG = {rel: (st, ot) for rel, (st, ot, _) in spec.TEMPLATES.items()
+            if rel != spec.NA_RELATION}
+
+_WORKER_PARAMS: dict[int, dict] = {}
+
+
+def _unpack_once(bc) -> dict:
+    """Unpack broadcast weights once per Python worker process."""
+    p = _WORKER_PARAMS.get(id(bc))
+    if p is None:
+        p = model.params_from_bytes(bc.value)
+        _WORKER_PARAMS.clear()
+        _WORKER_PARAMS[id(bc)] = p
+    return p
+
+
+def score_instances(
+    instances: DataFrame,
+    weights_bc,
+    threshold: float = spec.REL_THRESHOLD,
+    type_filter: bool = True,
+) -> DataFrame:
+    """T3 → T4: classify every instance, drop NA and sub-threshold
+    rows, optionally enforce the relation type signature."""
+    rels = np.array(spec.RELATIONS)
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = None
+        for pdf in it:
+            if p is None:
+                p = _unpack_once(weights_bc)
+            if len(pdf) == 0:
+                yield pdf.assign(rel=pd.Series(dtype=str),
+                                 score=pd.Series(dtype="float32"))
+                continue
+            ids = [list(x) for x in pdf["token_ids"]]
+            lab, prob = model.predict(
+                p, ids, pdf["head_pos"].to_numpy(),
+                pdf["tail_pos"].to_numpy())
+            out = pdf.copy()
+            out["rel"] = rels[lab]
+            out["score"] = prob.astype(np.float32)
+            keep = (lab != spec.REL_TO_ID[spec.NA_RELATION]) & \
+                   (prob >= threshold)
+            yield out[keep]
+
+    scored = instances.mapInPandas(score_batches, schema=schemas.SCORED)
+    if type_filter:
+        sig = F.create_map(*[
+            x for rel, (st, ot) in TYPE_SIG.items()
+            for x in (F.lit(rel), F.array(F.lit(st), F.lit(ot)))])
+        scored = scored.where(
+            # unknown mention types pass through; known types must match
+            ((F.col("head_mtype") == F.lit("unk")) |
+             (F.col("head_mtype") == sig[F.col("rel")][0])) &
+            ((F.col("tail_mtype") == F.lit("unk")) |
+             (F.col("tail_mtype") == sig[F.col("rel")][1])))
+    return scored
+
+
+def broadcast_weights(spark, params: dict | None = None):
+    """Broadcast the frozen model once per job (npz-compressed bytes)."""
+    if params is None:
+        from kg.train import WEIGHTS_PATH
+        params = model.load_params(WEIGHTS_PATH)
+    return spark.sparkContext.broadcast(model.params_to_bytes(params))
