@@ -107,6 +107,12 @@ def forward(p, ids, heads, tails, lens, want_cache=False):
     """Returns softmax probabilities (B, N_REL); with want_cache, also
     the intermediates needed for backward."""
     X, r1, r2 = _embed(p, ids, heads, tails)
+    # zero ALL embedding channels beyond each row's length: otherwise
+    # the position embeddings of pad slots bleed into the conv window
+    # of the last real token and scores depend on the batch's max
+    # length (i.e. on Arrow batch boundaries) — nondeterminism.
+    valid = (np.arange(ids.shape[1])[None, :] < lens[:, None])
+    X = X * valid[:, :, None]
     cols = _im2col(X)                                 # (B,T,COL)
     conv = cols @ p["W_conv"] + p["b_conv"]           # (B,T,F)
     masks = _segment_masks(ids.shape[1], heads, tails, lens)
@@ -122,7 +128,8 @@ def forward(p, ids, heads, tails, lens, want_cache=False):
     if not want_cache:
         return probs
     return probs, {"X": X, "r1": r1, "r2": r2, "cols": cols, "arg": arg,
-                   "pooled": pooled, "g": g, "ids": ids, "masks": masks}
+                   "pooled": pooled, "g": g, "ids": ids, "masks": masks,
+                   "valid": valid}
 
 
 def backward(p, cache, probs, labels):
@@ -157,7 +164,7 @@ def backward(p, cache, probs, labels):
     dXp = np.zeros((B, T + 2 * pad, IN_DIM), dtype=np.float32)
     for k in range(spec.CONV_WINDOW):
         dXp[:, k:k + T, :] += dcols[:, :, k, :]
-    dX = dXp[:, pad:pad + T, :]
+    dX = dXp[:, pad:pad + T, :] * cache["valid"][:, :, None]
     dE_word = np.zeros_like(p["E_word"])
     np.add.at(dE_word, cache["ids"], dX[:, :, :spec.EMB_DIM])
     dE_word[0] = 0.0

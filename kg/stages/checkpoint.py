@@ -103,10 +103,12 @@ class StageCheckpoint:
         out = fn(part.drop("_bucket"))
         out = out.withColumn("_bucket", bucket_of(bucket_key, self.n_buckets))
         (out.write.mode("append").partitionBy("_bucket").parquet(self.dir))
+        # decimal accumulator: order-insensitive and overflow-proof
+        # under ANSI mode (Spark 4 default)
         stats = (out.groupBy("_bucket").agg(
             F.count("*").alias("rows"),
-            F.sum(F.xxhash64(*[c for c in out.columns if c != "_bucket"]))
-             .alias("checksum")).collect())
+            F.sum(F.xxhash64(*[c for c in out.columns if c != "_bucket"])
+                  .cast("decimal(38,0)")).alias("checksum")).collect())
         by_bucket = {int(r["_bucket"]): r for r in stats}
         now = datetime.now(timezone.utc).isoformat()
         for b in batch:

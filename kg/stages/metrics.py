@@ -30,5 +30,6 @@ def table_checksum(df: DataFrame) -> str:
     """Order-insensitive content checksum: sum of xxhash64 over all
     columns. Used for resume-equivalence assertions (E2/A5)."""
     row = df.select(
-        F.sum(F.xxhash64(*df.columns)).alias("c")).collect()[0]
+        F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)"))
+        .alias("c")).collect()[0]
     return str(row["c"] if row["c"] is not None else 0)

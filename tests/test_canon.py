@@ -1,0 +1,130 @@
+"""C1–C4 tests: LSH blocking, Jaccard verify, connected components
+(vs a pure-Python union-find oracle AND DuckDB WITH RECURSIVE,
+SURVEY.md §5.2c/5.3), cluster naming."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kg import schemas
+from kg.stages import canon
+from kg.stages.link import dictionary_df
+
+# known graph: chain of 5 (forces ≥3 propagation rounds), a triangle,
+# and singleton node 99 (FIXTURES.md F2 edges_tiny)
+EDGES = [(1, 2, 0.9), (2, 3, 0.9), (3, 4, 0.9), (4, 5, 0.9),
+         (10, 11, 0.8), (11, 12, 0.8), (10, 12, 0.8)]
+NODES = [1, 2, 3, 4, 5, 10, 11, 12, 99]
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return {n: find(n) for n in nodes}
+
+
+def test_cc_known_graph(spark):
+    nodes = spark.createDataFrame([(n,) for n in NODES], "node long")
+    edges = spark.createDataFrame(EDGES, schema=schemas.EDGES)
+    got = {r["node"]: r["component"]
+           for r in canon.connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_cc_matches_duckdb_recursive(spark):
+    """DuckDB WITH RECURSIVE as an independent tiny-scale oracle."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)",
+                    [(s, d) for s, d, _ in EDGES])
+    con.execute("CREATE TABLE n(node BIGINT)")
+    con.executemany("INSERT INTO n VALUES (?)", [(n,) for n in NODES])
+    oracle = dict(con.execute("""
+        WITH RECURSIVE sym AS (
+            SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        reach(node, lab) AS (
+            SELECT node, node FROM n
+            UNION
+            SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.node)
+        SELECT node, min(lab) FROM reach GROUP BY node
+    """).fetchall())
+    nodes = spark.createDataFrame([(n,) for n in NODES], "node long")
+    edges = spark.createDataFrame(EDGES, schema=schemas.EDGES)
+    got = {r["node"]: r["component"]
+           for r in canon.connected_components(nodes, edges).collect()}
+    assert got == oracle
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)), max_size=25))
+@settings(max_examples=12, deadline=None)
+def test_cc_property_vs_union_find(spark_prop, edges_raw):
+    edges = [(min(a, b), max(a, b), 1.0) for a, b in edges_raw if a != b]
+    nodes = sorted({n for e in edges for n in e[:2]} | {0, 14})
+    expect = _union_find(nodes, [(s, d) for s, d, _ in edges])
+    ndf = spark_prop.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark_prop.createDataFrame(edges or [(0, 0, 1.0)],
+                                     schema=schemas.EDGES) \
+        .where("src != dst")
+    got = {r["node"]: r["component"]
+           for r in canon.connected_components(ndf, edf).collect()}
+    assert got == expect
+
+
+def test_lsh_blocks_variant_pairs(spark):
+    """Variant surfaces of the same entity must land in a shared LSH
+    bucket and survive Jaccard verification; unrelated entities must
+    not merge."""
+    norms = spark.createDataFrame(
+        [("acme corp",), ("the acme corp",), ("dataquill",),
+         ("dataquill io",), ("granite labs",)], "norm string")
+    signed = canon.minhash_signatures(norms)
+    edges = canon.verify_pairs(
+        canon.candidate_pairs(canon.lsh_bands(signed)), tau=0.5)
+    norm_of = {r["node"]: r["norm"]
+               for r in signed.select("node", "norm").collect()}
+    pairs = {tuple(sorted((norm_of[r["src"]], norm_of[r["dst"]])))
+             for r in edges.collect()}
+    assert ("acme corp", "the acme corp") in pairs
+    assert ("dataquill", "dataquill io") in pairs
+    assert not any("granite labs" in p for p in pairs)
+
+
+def test_canonicalize_norms_end_to_end(spark):
+    """Dictionary-linked norms name their whole cluster; fully unknown
+    clusters fall back to their lexicographically-first norm."""
+    norms = spark.createDataFrame(
+        [("acme corp",),         # dictionary hit
+         ("acme corpp",),        # typo → cluster with the hit
+         ("zzzz wobbleplex",), ("zzzz wobbleplexx",)],  # unknown cluster
+        "norm string")
+    mapping = {r["norm"]: r["entity"]
+               for r in canon.canonicalize_norms(
+                   norms, dictionary_df(spark)).collect()}
+    assert mapping["acme corp"] == "Acme Corp"
+    assert mapping["acme corpp"] == "Acme Corp"      # inherited via CC
+    assert mapping["zzzz wobbleplex"] == mapping["zzzz wobbleplexx"] \
+        == "zzzz wobbleplex"
+
+
+def test_minhash_deterministic(spark):
+    norms = spark.createDataFrame([("acme corp",), ("dataquill",)],
+                                  "norm string")
+    a = {r["norm"]: r["sig"] for r in canon.minhash_signatures(norms).collect()}
+    b = {r["norm"]: r["sig"] for r in canon.minhash_signatures(norms).collect()}
+    assert a == b
+    assert all(len(s) == 128 for s in a.values())

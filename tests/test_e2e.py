@@ -1,0 +1,63 @@
+"""E2E contract (SURVEY.md §5.4, BASELINE.md): the full pipeline on
+the pinned fixture must (a) reproduce the frozen golden triples
+exactly, and (b) score P ≥ 0.95 AND R ≥ 0.95 against the datagen
+by-construction gold — the non-circular check.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from kg import datagen, pipeline, schemas, spec
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.fixture(scope="module")
+def e2e_result(spark):
+    pdf, gold = datagen.generate(n_conversations=120, seed=42)
+    t0 = spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+    t8 = pipeline.run(spark, t0)["triples"].cache()
+    return t8, set(gold)
+
+
+def test_precision_recall_vs_construction_gold(e2e_result):
+    t8, gold = e2e_result
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in t8.select("subj", "pred", "obj").collect()}
+    tp = len(got & gold)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(gold)
+    assert precision >= 0.95, f"precision {precision:.4f}"
+    assert recall >= 0.95, f"recall {recall:.4f}"
+
+
+def test_matches_frozen_golden(e2e_result):
+    t8, _ = e2e_result
+    golden = pd.read_parquet(os.path.join(GOLDEN_DIR, "triples.parquet"))
+    ours = (t8.select("subj", "pred", "obj", "confidence", "n_support")
+            .orderBy("subj", "pred", "obj").toPandas())
+    pd.testing.assert_frame_equal(
+        ours.reset_index(drop=True), golden.reset_index(drop=True),
+        check_exact=False, atol=1e-5)
+
+
+def test_tokenizer_pins():
+    with open(os.path.join(GOLDEN_DIR, "tokens.jsonl")) as f:
+        for line in f:
+            row = json.loads(line)
+            assert spec.tokenize(row["text"]) == row["tokens"]
+
+
+def test_confidence_and_support_sane(e2e_result):
+    t8, _ = e2e_result
+    rows = t8.collect()
+    assert all(spec.REL_THRESHOLD <= r["confidence"] <= 1.0 for r in rows)
+    assert all(r["n_support"] >= 1 for r in rows)
+    assert all(len(r["provenance"]) <= 16 for r in rows)
+    assert all(r["pred"] in spec.RELATIONS and r["pred"] != "NA"
+               for r in rows)

@@ -1,0 +1,79 @@
+"""B1–B5 Spark-stage tests: extraction, scoring with the committed
+weights, type filtering, dictionary linking (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from kg import schemas, spec
+from kg.stages import extract, link, score
+
+ROWS = [
+    ("c1", 0, "user", "Ann Barard works at Acme Corp according to the report",
+     None, datetime(2024, 1, 1)),
+    ("c1", 1, "assistant", "no entities here at all", None,
+     datetime(2024, 1, 1)),
+    ("c2", 0, "user", "Ann Barard met Boris Barben at the conference",
+     None, datetime(2024, 1, 1)),
+]
+
+
+def _t0(spark):
+    return spark.createDataFrame(ROWS, schema=schemas.TRANSCRIPTS)
+
+
+def test_extract_instances(spark):
+    inst = extract.extract_instances(_t0(spark)).collect()
+    # 2 entity-bearing turns × 2 ordered pairs
+    assert len(inst) == 4
+    fwd = [r for r in inst if r["conv_id"] == "c1"
+           and r["head_norm"] == "ann barard"][0]
+    assert fwd["tail_norm"] == "acme corp"
+    assert fwd["head_pos"] == 0 and fwd["tail_pos"] == 4
+    assert all(isinstance(i, int) for i in fwd["token_ids"])
+
+
+def test_detect_mentions_ids_deterministic(spark):
+    a = extract.detect_mentions(_t0(spark))
+    b = extract.detect_mentions(_t0(spark).repartition(3))
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    assert a.where(F.col("mention_id").isNull()).isEmpty()
+
+
+def test_score_keeps_relation_drops_na(spark):
+    bc = score.broadcast_weights(spark)
+    inst = extract.extract_instances(_t0(spark))
+    out = score.score_instances(inst, bc).collect()
+    got = {(r["head_norm"], r["rel"], r["tail_norm"]) for r in out}
+    assert ("ann barard", "employed_by", "acme corp") in got
+    # the NA conference sentence must not survive
+    assert not any(r["conv_id"] == "c2" for r in out)
+    assert all(r["score"] >= spec.REL_THRESHOLD for r in out)
+
+
+def test_type_filter_blocks_signature_violations(spark):
+    bc = score.broadcast_weights(spark)
+    inst = extract.extract_instances(_t0(spark))
+    # force a wrong-type head by relabeling mtypes before the filter
+    typed = score.score_instances(inst, bc, type_filter=False) \
+        .withColumn("head_mtype", F.lit("tool"))
+    sig = score.TYPE_SIG["employed_by"]
+    assert sig == ("person", "org")
+    filtered = score.score_instances(inst, bc, type_filter=True)
+    assert filtered.where(
+        (F.col("rel") == "employed_by") &
+        (F.col("head_mtype") != "person")).isEmpty()
+    assert typed.count() >= filtered.count()
+
+
+def test_link_exact_broadcast(spark):
+    df = spark.createDataFrame(
+        [("acme corp",), ("unknown thing",)], "head_norm string")
+    out = link.link_exact(df, link.dictionary_df(spark),
+                          "head_norm", "head_entity").collect()
+    by = {r["head_norm"]: r for r in out}
+    assert by["acme corp"]["head_entity"] == "Acme Corp"
+    assert by["acme corp"]["head_entity_score"] == 1.0
+    assert by["unknown thing"]["head_entity"] is None

@@ -1,0 +1,148 @@
+"""Unit tests: tokenizer (B1), mentions (B2), pairing (B3), minhash
+math — no Spark needed (SURVEY.md §5.1/5.2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kg import nlp, spec
+
+
+def test_tokenizer_golden_pairs():
+    cases = [
+        ("Ann Barard works at Acme Corp.",
+         ["Ann", "Barard", "works", "at", "Acme", "Corp", "."]),
+        ("hello,world", ["hello", ",", "world"]),
+        ("a  b\tc\nd", ["a", "b", "c", "d"]),
+        ("v2.0-rc1", ["v2", ".", "0", "-", "rc1"]),
+        ("", []),
+    ]
+    for text, expected in cases:
+        assert spec.tokenize(text) == expected
+
+
+def test_normalize_surface():
+    assert spec.normalize_surface("Acme Corp.") == "acme corp"
+    assert spec.normalize_surface("  ACME-C ") == "acme c"
+    assert spec.normalize_surface("...") == ""
+
+
+def test_vocab_reserved_ids():
+    v = spec.vocabulary()
+    assert v[spec.PAD_TOKEN] == 0 and v[spec.UNK_TOKEN] == 1
+    assert spec.token_ids(["zzz_not_in_vocab"]) == [1]
+
+
+def test_find_mentions_gazetteer_and_spans():
+    toks = spec.tokenize("Ann Barard works at Acme Corp according to x")
+    mens = nlp.find_mentions(toks)
+    assert [(m["canonical"], m["span_start"], m["span_end"])
+            for m in mens] == [("Ann Barard", 0, 2), ("Acme Corp", 4, 6)]
+    # surfaces preserve original casing
+    assert mens[0]["surface"] == "Ann Barard"
+
+
+def test_find_mentions_longest_match_and_unknown():
+    # "the Acme corp" is a 3-token variant — must win over shorter hits
+    toks = spec.tokenize("we met the Acme corp team and Zorblax Prime")
+    mens = nlp.find_mentions(toks)
+    cans = [m["canonical"] for m in mens]
+    assert "Acme Corp" in cans
+    unk = [m for m in mens if m["mtype"] == "unk"]
+    assert len(unk) == 1 and unk[0]["surface"] == "Zorblax Prime"
+
+
+def test_pair_instances_ordered_and_capped():
+    toks = spec.tokenize("Ann Barard works at Acme Corp")
+    mens = nlp.find_mentions(toks)
+    pairs = nlp.pair_instances(toks, mens)
+    assert len(pairs) == 2  # both orders
+    fwd = [p for p in pairs if p["head_canonical"] == "Ann Barard"][0]
+    assert (fwd["head_pos"], fwd["tail_pos"]) == (0, 4)
+    assert nlp.pair_instances(toks, mens * 6, cap=5) and \
+        len(nlp.pair_instances(toks, mens * 6, cap=5)) == 5
+
+
+@given(st.sets(st.text(alphabet="abcdef", min_size=1, max_size=8),
+               min_size=1, max_size=30),
+       st.sets(st.text(alphabet="abcdef", min_size=1, max_size=8),
+               min_size=1, max_size=30))
+@settings(max_examples=60, deadline=None)
+def test_minhash_estimates_jaccard(sa, sb):
+    """Property (SURVEY.md §5.2d): minhash signature agreement ≈
+    Jaccard within a generous ε for h=128."""
+    import zlib
+
+    from kg.stages.canon import _MERSENNE, _perm_coeffs
+
+    a, b = _perm_coeffs()
+    au, bu = a.astype(np.uint64), b.astype(np.uint64)
+
+    def sig(s):
+        h = np.array([zlib.crc32(g.encode()) for g in sorted(s)],
+                     dtype=np.uint64)
+        m = (h[:, None] * au[None, :] + bu[None, :]) % np.uint64(_MERSENNE)
+        return m.min(axis=0)
+
+    est = float((sig(sa) == sig(sb)).mean())
+    true = nlp.jaccard(sa, sb)
+    assert abs(est - true) < 0.30
+
+
+def test_char_ngrams_padded():
+    assert nlp.char_ngrams("ab") == {"^ab", "ab$"}
+    assert nlp.char_ngrams("a") == {"^a$"}
+    assert nlp.char_ngrams("abc") == {"^ab", "abc", "bc$"}
+
+
+def test_pcnn_scores_batch_invariant():
+    """A row's score must not depend on which batch it rides in
+    (Arrow batch boundaries are an execution detail, not semantics)."""
+    from kg import model
+    from kg.train import WEIGHTS_PATH
+
+    p = model.load_params(WEIGHTS_PATH)
+    short = [3, 4, 5, 6, 7]
+    long = list(range(3, 40))
+    alone = model.predict(p, [short], [0], [3])
+    batched = model.predict(p, [short, long], [0, 0], [3, 3])
+    assert alone[0][0] == batched[0][0]
+    assert abs(alone[1][0] - batched[1][0]) < 1e-6
+
+
+@pytest.mark.parametrize("n", [1, 7, 40])
+def test_pcnn_forward_shapes_and_grad(n):
+    """Numerical gradient check on a tiny batch — the backward pass
+    that trained the committed weights is correct."""
+    from kg import model
+
+    rng = np.random.default_rng(0)
+    p = model.init_params(0)
+    ids_l = [list(rng.integers(1, 50, size=rng.integers(4, 12)))
+             for _ in range(n)]
+    heads = [0] * n
+    tails = [2] * n
+    ids, h, t, lens = model.pad_batch(ids_l, heads, tails)
+    probs = model.forward(p, ids, h, t, lens)
+    assert probs.shape == (n, model.N_REL)
+    assert np.allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+    if n != 7:
+        return
+    y = rng.integers(0, model.N_REL, size=n)
+    probs, cache = model.forward(p, ids, h, t, lens, want_cache=True)
+    grads = model.backward(p, cache, probs, y)
+    # numerical check on a few W_out entries
+    eps = 1e-3
+    for (i, j) in [(0, 0), (5, 3), (100, 6)]:
+        p["W_out"][i, j] += eps
+        lp = -np.log(model.forward(p, ids, h, t, lens)[np.arange(n), y]
+                     + 1e-12).mean()
+        p["W_out"][i, j] -= 2 * eps
+        lm = -np.log(model.forward(p, ids, h, t, lens)[np.arange(n), y]
+                     + 1e-12).mean()
+        p["W_out"][i, j] += eps
+        num = (lp - lm) / (2 * eps)
+        assert abs(num - grads["W_out"][i, j]) < 1e-3
