@@ -1,0 +1,757 @@
+"""Driver-contract query registry (SURVEY.md §2-F, §3.3).
+
+Every implemented operator is exposed as ``name -> (spark_fn, sql)``:
+``spark_fn(spark, sf_dir) -> DataFrame`` and ``sql`` the equivalent
+ANSI SQL DuckDB runs over the same parquet (views pre-registered by
+the driver). ``sql=None`` marks genuinely non-SQL-expressible ops
+(model scoring, minhash, pipeline e2e) → driver records a rows-only
+check.
+
+Conventions (driver compare = row-count + schema + order-insensitive
+value-hash over name-sorted columns):
+- every computed column aliased identically on both sides;
+- every float aggregate rounded to a fixed precision on both sides;
+- deterministic tie-breaks on every top-k / window ordering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Window as W
+
+Q: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        Q[name] = (fn, sql)
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2-F relational surface — scans, joins, aggregates, windows
+# ---------------------------------------------------------------------------
+
+@q("filter_project", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2024-06-01' AND l_quantity > 40
+""")
+def filter_project(spark, sf):
+    """A1/F: predicate + projection pushed to the parquet scan."""
+    return (_t(spark, sf, "lineitem")
+            .where((F.col("l_shipdate") >= "2024-06-01")
+                   & (F.col("l_quantity") > 40))
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+                    "l_extendedprice"))
+
+
+@q("join_inner", """
+SELECT c.c_mktsegment AS mktsegment, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""")
+def join_inner(spark, sf):
+    """F: inner equi-join; customer is the broadcast-able dim side."""
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+@q("join_left_outer", """
+SELECT c.c_nationkey AS nationkey,
+       count(*) AS n_customers,
+       sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_inactive
+FROM customer c LEFT JOIN (
+    SELECT DISTINCT o_custkey, min(o_orderkey) AS o_orderkey
+    FROM orders GROUP BY o_custkey) o
+  ON c.c_custkey = o.o_custkey
+GROUP BY c.c_nationkey
+""")
+def join_left_outer(spark, sf):
+    o = (_t(spark, sf, "orders").groupBy("o_custkey")
+         .agg(F.min("o_orderkey").alias("o_orderkey")))
+    c = _t(spark, sf, "customer")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum(F.when(F.col("o_orderkey").isNull(), 1)
+                        .otherwise(0)).alias("n_inactive")))
+
+
+@q("join_semi", """
+SELECT c_mktsegment AS mktsegment, count(*) AS n
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+""")
+def join_semi(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+            .agg(F.count("*").alias("n")))
+
+
+@q("join_anti", """
+SELECT c_mktsegment AS mktsegment, count(*) AS n
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+""")
+def join_anti(spark, sf):
+    """F: left-anti ≡ NOT EXISTS — the A5 resume anti-accounting shape."""
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+            .agg(F.count("*").alias("n")))
+
+
+@q("join_range_window", """
+SELECT a.event_type AS et_a, b.event_type AS et_b, count(*) AS n
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 60 SECOND
+GROUP BY a.event_type, b.event_type
+""")
+def join_range_window(spark, sf):
+    """F: range/theta join with an equi prefix (user_id) — the B3
+    cross-turn candidate shape; the equi key keeps it a hash join,
+    never a nested-loop over everything."""
+    e = _t(spark, sf, "events")
+    a, b = e.alias("a"), e.alias("b")
+    return (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                   & (F.col("b.ts") > F.col("a.ts"))
+                   & (F.col("b.ts") <= F.col("a.ts")
+                      + F.expr("INTERVAL 60 SECOND")))
+            .groupBy(F.col("a.event_type").alias("et_a"),
+                     F.col("b.event_type").alias("et_b"))
+            .agg(F.count("*").alias("n")))
+
+
+@q("self_join_pairs", """
+SELECT l1.l_returnflag AS rf, count(*) AS n_pairs
+FROM lineitem l1 JOIN lineitem l2
+  ON l1.l_orderkey = l2.l_orderkey
+ AND l1.l_linenumber < l2.l_linenumber
+GROUP BY l1.l_returnflag
+""")
+def self_join_pairs(spark, sf):
+    """F: self-join with src<dst — the C2 within-block verify shape."""
+    li = _t(spark, sf, "lineitem")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    return (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                    & (F.col("l1.l_linenumber") < F.col("l2.l_linenumber")))
+            .groupBy(F.col("l1.l_returnflag").alias("rf"))
+            .agg(F.count("*").alias("n_pairs")))
+
+
+@q("agg_basic", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+GROUP BY l_returnflag, l_linestatus
+""")
+def agg_basic(spark, sf):
+    """F: the TPC-H Q1 shape — two-phase hash aggregate."""
+    return (_t(spark, sf, "lineitem")
+            .where(F.col("l_shipdate") <= "2024-09-01")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.count("*").alias("count_order")))
+
+
+@q("agg_distinct", """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_distinct(spark, sf):
+    return (_t(spark, sf, "lineitem").groupBy("l_returnflag")
+            .agg(F.countDistinct("l_suppkey").alias("n_supps"),
+                 F.countDistinct("l_partkey").alias("n_parts")))
+
+
+@q("rollup_agg", """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""")
+def rollup_agg(spark, sf):
+    return (_t(spark, sf, "lineitem")
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("qty")))
+
+
+@q("cube_agg", """
+SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))
+""")
+def cube_agg(spark, sf):
+    e = _t(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    return e.cube("event_type", "day").agg(F.count("*").alias("n"))
+
+
+@q("window_rank", """
+SELECT o_custkey, o_orderkey, rnk FROM (
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders) t
+WHERE rnk <= 3
+""")
+def window_rank(spark, sf):
+    """F: ranking window — THE stable-turn-ordering primitive (A2)."""
+    w = (W.partitionBy("o_custkey")
+         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+    return (_t(spark, sf, "orders")
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("o_custkey", "o_orderkey", "rnk"))
+
+
+@q("window_lag_delta", """
+SELECT event_id,
+       round(value - lag(value) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+FROM events
+""")
+def window_lag_delta(spark, sf):
+    """F: analytic window (lag) — the A3 overlap-context shape."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (_t(spark, sf, "events")
+            .select("event_id",
+                    F.round(F.col("value") - F.lag("value").over(w), 4)
+                     .alias("delta")))
+
+
+@q("window_running_sum", """
+SELECT event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW), 4) AS run_sum
+FROM events
+""")
+def window_running_sum(spark, sf):
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (_t(spark, sf, "events")
+            .select("event_id",
+                    F.round(F.sum("value").over(w), 4).alias("run_sum")))
+
+
+@q("window_first_last", """
+WITH ranked AS (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events)
+SELECT user_id,
+       max(CASE WHEN rn_a = 1 THEN event_type END) AS first_event,
+       max(CASE WHEN rn_d = 1 THEN event_type END) AS last_event,
+       count(*) AS n_events
+FROM ranked GROUP BY user_id
+""")
+def window_first_last(spark, sf):
+    """A2-shaped oracle query: (user_id, ts) plays (conv_id, turn_idx);
+    first/last under the stable ordering."""
+    e = _t(spark, sf, "events")
+    wa = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (e.withColumn("rn_a", F.row_number().over(wa))
+             .withColumn("rn_d", F.row_number().over(wd))
+             .groupBy("user_id")
+             .agg(F.max(F.when(F.col("rn_a") == 1, F.col("event_type")))
+                   .alias("first_event"),
+                  F.max(F.when(F.col("rn_d") == 1, F.col("event_type")))
+                   .alias("last_event"),
+                  F.count("*").alias("n_events")))
+
+
+@q("sessionize_chunks", """
+WITH ranked AS (
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) - 1 AS rn
+    FROM events)
+SELECT user_id, CAST(floor(rn / 10) AS INT) AS chunk_id, count(*) AS n
+FROM ranked GROUP BY user_id, CAST(floor(rn / 10) AS INT)
+""")
+def sessionize_chunks(spark, sf):
+    """A3 shape: bounded chunks of ≤10 events per (user, chunk)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (_t(spark, sf, "events")
+            .withColumn("rn", F.row_number().over(w) - 1)
+            .withColumn("chunk_id", F.floor(F.col("rn") / 10).cast("int"))
+            .groupBy("user_id", "chunk_id").agg(F.count("*").alias("n")))
+
+
+@q("topk", """
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""")
+def topk(spark, sf):
+    """F/D4: orderBy+limit → TakeOrderedAndProject (no global sort)."""
+    return (_t(spark, sf, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(10)
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("total")))
+
+
+@q("set_ops", """
+SELECT event_type FROM events WHERE event_id < 5000
+INTERSECT
+SELECT event_type FROM events WHERE event_id >= 5000
+""")
+def set_ops(spark, sf):
+    e = _t(spark, sf, "events")
+    return (e.where("event_id < 5000").select("event_type")
+            .intersect(e.where("event_id >= 5000").select("event_type")))
+
+
+@q("distinct_dedup", """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique
+FROM documents GROUP BY source
+""")
+def distinct_dedup(spark, sf):
+    """Exact dedup (hash-groupBy) over the documents table."""
+    return (_t(spark, sf, "documents").groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct(F.md5("text")).alias("n_unique")))
+
+
+# ---------------------------------------------------------------------------
+# string / json / date / array functions (B1/B2/B5/C2 shapes)
+# ---------------------------------------------------------------------------
+
+@q("tokenize_regex", r"""
+SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens,
+       regexp_extract_all(text, '\w+|[^\w\s]')[1] AS first_token
+FROM documents
+""")
+def tokenize_regex(spark, sf):
+    """B1's SQL-expressible core: the pinned tokenizer regex applied
+    JVM-side (regexp_extract_all) — same rule as kg.spec.tokenize."""
+    toks = F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")
+    return (_t(spark, sf, "documents")
+            .select("doc_id", F.size(toks).alias("n_tokens"),
+                    toks.getItem(0).alias("first_token")))
+
+
+@q("string_funcs", """
+SELECT doc_id,
+       upper(substr(text, 1, 10)) AS head10,
+       length(text) AS n_chars_txt,
+       levenshtein(source, 'src0') AS src_dist,
+       concat_ws('|', source, lang) AS tag
+FROM documents WHERE doc_id < 200
+""")
+def string_funcs(spark, sf):
+    d = _t(spark, sf, "documents").where("doc_id < 200")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head10"),
+        F.length("text").alias("n_chars_txt"),
+        F.levenshtein("source", F.lit("src0")).alias("src_dist"),
+        F.concat_ws("|", "source", "lang").alias("tag"))
+
+
+@q("date_funcs", """
+SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY date_trunc('hour', ts)
+""")
+def date_funcs(spark, sf):
+    return (_t(spark, sf, "events")
+            .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+@q("json_funcs", """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+FROM events GROUP BY event_type
+""")
+def json_funcs(spark, sf):
+    return (_t(spark, sf, "events")
+            .groupBy("event_type")
+            .agg(F.round(F.avg(F.get_json_object("props", "$.k")
+                               .cast("int")), 4).alias("avg_k")))
+
+
+@q("array_funcs", """
+SELECT vec_id, len(embedding) AS dim,
+       round(sqrt(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4)
+           AS l2_norm
+FROM embeddings WHERE vec_id < 100
+""")
+def array_funcs(spark, sf):
+    """F: higher-order array functions (transform + aggregate)."""
+    return (_t(spark, sf, "embeddings").where("vec_id < 100")
+            .select("vec_id", F.size("embedding").alias("dim"),
+                    F.round(F.sqrt(F.aggregate(
+                        F.transform("embedding",
+                                    lambda x: x.cast("double") * x.cast("double")),
+                        F.lit(0.0), lambda acc, x: acc + x)), 4)
+                    .alias("l2_norm")))
+
+
+@q("explode_words", """
+SELECT w AS word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+WHERE w <> '' GROUP BY w ORDER BY n DESC, w LIMIT 20
+""")
+def explode_words(spark, sf):
+    """F: explode (lateral view) — the B2/C1 fan-out shape."""
+    return (_t(spark, sf, "documents")
+            .select(F.explode(F.split("text", " ")).alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("word")).limit(20))
+
+
+# ---------------------------------------------------------------------------
+# training-data-pipeline operators over documents / embeddings
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "was", "for",
+              "on", "at", "by")
+
+
+@q("text_quality_score", f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(CAST(length(text) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS avg_tok_len,
+       round(CAST(len(list_filter(string_split(text, ' '),
+             x -> x IN {_STOPWORDS})) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS stopword_ratio
+FROM documents
+""")
+def text_quality_score(spark, sf):
+    """Quality scoring: token count, mean token length, stopword
+    ratio — the standard pretraining-corpus filters."""
+    words = F.split("text", " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n = F.size(words)
+    return (_t(spark, sf, "documents").select(
+        "doc_id", n.alias("n_tokens"),
+        F.round(F.length("text").cast("double") / n, 4)
+         .alias("avg_tok_len"),
+        F.round(F.size(F.filter(words, lambda x: F.array_contains(stop, x)))
+                .cast("double") / n, 4).alias("stopword_ratio")))
+
+
+@q("lang_id_heuristic", f"""
+SELECT doc_id,
+       CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN {_STOPWORDS})) AS DOUBLE)
+                 / len(string_split(text, ' ')) > 0.05
+            THEN 'en' ELSE 'unk' END AS lang_pred
+FROM documents
+""")
+def lang_id_heuristic(spark, sf):
+    """Language ID via stopword-density heuristic (n-gram-free but the
+    same plumbing: JVM-side, no UDF)."""
+    words = F.split("text", " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    ratio = (F.size(F.filter(words, lambda x: F.array_contains(stop, x)))
+             .cast("double") / F.size(words))
+    return (_t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(ratio > 0.05, "en").otherwise("unk").alias("lang_pred")))
+
+
+@q("doc_fingerprint", """
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+FROM documents WHERE doc_id < 200
+""")
+def doc_fingerprint(spark, sf):
+    """Document fingerprinting: canonicalized-content hash."""
+    return (_t(spark, sf, "documents").where("doc_id < 200")
+            .select("doc_id",
+                    F.md5(F.lower(F.regexp_replace(
+                        "text", r"\s+", " "))).alias("fp")))
+
+
+@q("ngram_jaccard_pairs", """
+WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+           FROM documents WHERE doc_id < 60)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+             / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))),
+             4) AS jac
+FROM w a JOIN w b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+      / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.5
+""")
+def ngram_jaccard_pairs(spark, sf):
+    """Near-dup detection by word-set Jaccard — the C2 verify shape on
+    documents (JVM-side array_intersect; |A∪B| = |A|+|B|-|A∩B| keeps
+    both engines on identical arithmetic)."""
+    d = (_t(spark, sf, "documents").where("doc_id < 60")
+         .select("doc_id",
+                 F.array_distinct(F.split("text", " ")).alias("ws")))
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = (F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter)
+    jac = F.round(inter.cast("double") / union, 4)
+    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    jac.alias("jac"))
+            .where(inter.cast("double") / union >= 0.5))
+
+
+@q("knn_cosine_bruteforce", """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+norms AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(
+             list_zip(embedding, (SELECT qe FROM q)),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+           AS dot,
+         sqrt(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nv,
+         sqrt(list_aggregate(list_transform((SELECT qe FROM q),
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nq
+  FROM embeddings WHERE vec_id <> 0)
+SELECT vec_id, round(dot / (nv * nq), 4) AS cos
+FROM norms ORDER BY dot / (nv * nq) DESC, vec_id LIMIT 10
+""")
+def knn_cosine_bruteforce(spark, sf):
+    """Similarity search baseline: brute-force cosine top-k against a
+    query vector (JVM-side zip_with/aggregate — no UDF)."""
+    e = _t(spark, sf, "embeddings")
+    qv = e.where("vec_id = 0").select(F.col("embedding").alias("qe"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cos = dot / (norm(F.col("embedding")) * norm(F.col("qe")))
+    return (e.where("vec_id <> 0").crossJoin(F.broadcast(qv))
+            .select("vec_id", cos.alias("_cos"))
+            .orderBy(F.desc("_cos"), F.asc("vec_id")).limit(10)
+            .select("vec_id", F.round("_cos", 4).alias("cos")))
+
+
+@q("two_phase_salted_agg", """
+SELECT user_id, count(*) AS count FROM events GROUP BY user_id
+""")
+def two_phase_salted_agg(spark, sf):
+    """E3 equivalence, independently verified: the salted two-phase
+    aggregation must equal a plain GROUP BY count."""
+    from kg.stages import skew
+
+    e = _t(spark, sf, "events")
+    hot = skew.detect_hot_keys(e, "user_id", threshold=150)
+    return skew.salted_count(e, "user_id", hot, n_salt=8)
+
+
+# ---------------------------------------------------------------------------
+# rows-only operators (model scoring / minhash / pipeline e2e — not
+# SQL-expressible; driver records row-count-only checks)
+# ---------------------------------------------------------------------------
+
+def _fixture_t0(spark):
+    from kg import datagen, schemas
+
+    pdf, _ = datagen.generate(n_conversations=80, seed=42)
+    return spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+
+
+@q("kg_pipeline_triples", None)
+def kg_pipeline_triples(spark, sf):
+    """E2E pipeline on the pinned synthetic fixture → T8 (sorted)."""
+    from kg import pipeline
+
+    t8 = pipeline.run(spark, _fixture_t0(spark))["triples"]
+    return (t8.select("subj", "pred", "obj",
+                      F.round("confidence", 4).alias("confidence"),
+                      "n_support")
+            .orderBy("subj", "pred", "obj"))
+
+
+@q("kg_reassemble_conversations", None)
+def kg_reassemble_conversations(spark, sf):
+    """A2 on the fixture: stable-ordered turn arrays (rows-only)."""
+    from kg.stages.reassemble import reassemble_conversations
+
+    t1 = reassemble_conversations(_fixture_t0(spark))
+    return t1.select(
+        "conv_id", "n_turns",
+        F.col("turns")[0]["text"].alias("first_text"),
+        F.element_at("turns", -1)["turn_idx"].alias("last_turn_idx"))
+
+
+@q("kg_detect_mentions", None)
+def kg_detect_mentions(spark, sf):
+    from kg.stages.extract import detect_mentions
+
+    return (detect_mentions(_fixture_t0(spark))
+            .groupBy("mtype").agg(
+                F.count("*").alias("n"),
+                F.countDistinct("norm").alias("n_norms")))
+
+
+@q("kg_score_relations", None)
+def kg_score_relations(spark, sf):
+    from kg import pipeline as pl
+
+    scored = pl.extract_and_score(spark, _fixture_t0(spark))
+    return (scored.groupBy("rel")
+            .agg(F.count("*").alias("n_instances"),
+                 F.round(F.avg("score"), 3).alias("avg_score")))
+
+
+@q("kg_connected_components", None)
+def kg_connected_components(spark, sf):
+    """C3 over the mention-variant similarity graph of the fixture."""
+    from kg.stages import canon
+    from kg.stages.extract import detect_mentions
+
+    norms = detect_mentions(_fixture_t0(spark)).select("norm")
+    signed = canon.minhash_signatures(norms)
+    edges = canon.verify_pairs(
+        canon.candidate_pairs(canon.lsh_bands(signed)))
+    comps = canon.connected_components(signed.select("node"), edges)
+    return (comps.groupBy("component")
+            .agg(F.count("*").alias("cluster_size"))
+            .groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters")))
+
+
+@q("kg_adjacency", None)
+def kg_adjacency(spark, sf):
+    from kg import pipeline
+
+    out = pipeline.run(spark, _fixture_t0(spark))
+    return (out["adjacency"]
+            .select("subj", "out_degree")
+            .orderBy(F.desc("out_degree"), F.asc("subj")).limit(50))
+
+
+@q("minhash_lsh_dedup", None)
+def minhash_lsh_dedup(spark, sf):
+    """MinHash+LSH near-dup candidate pairs over documents (the scale
+    path for dedup: banding keeps it O(n), never O(n²))."""
+    from kg.stages import canon
+
+    d = (_t(spark, sf, "documents")
+         .select(F.lower(F.substring("text", 1, 120)).alias("norm"))
+         .distinct())
+    signed = canon.minhash_signatures(d)
+    pairs = canon.candidate_pairs(canon.lsh_bands(signed))
+    return canon.verify_pairs(pairs, tau=0.5) \
+        .select("src", "dst", F.round("sim", 4).alias("sim"))
+
+
+@q("simhash_buckets", None)
+def simhash_buckets(spark, sf):
+    """SimHash (64-bit, word-feature) bucket histogram over documents —
+    identical simhashes ⇒ near-duplicate candidates."""
+    words = F.split(F.lower("text"), " ")
+    # JVM-side simhash: per word a 64-bit hash; majority vote per bit
+    # via sum of ±1 per bit. Expressed with higher-order functions.
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    bits = [
+        F.when(
+            F.aggregate(
+                hashes, F.lit(0),
+                lambda acc, h: acc + F.when(
+                    h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1))
+            > 0, F.lit(1 << i)).otherwise(0)
+        for i in range(16)  # 16 bits is enough for bucketing demo
+    ]
+    simhash = bits[0]
+    for b in bits[1:]:
+        simhash = simhash + b
+    return (_t(spark, sf, "documents")
+            .select(F.col("doc_id"), simhash.alias("simhash"))
+            .groupBy("simhash").agg(F.count("*").alias("n_docs"))
+            .where(F.col("n_docs") >= 1)
+            .orderBy(F.desc("n_docs"), F.asc("simhash")).limit(100))
+
+
+@q("ann_lsh_topk", None)
+def ann_lsh_topk(spark, sf):
+    """ANN via random-hyperplane LSH bucketing: candidates share a
+    sign-signature bucket with the query; exact cosine re-rank inside
+    the bucket. The 100TB path: buckets shard the similarity search."""
+    import numpy as np
+
+    e = _t(spark, sf, "embeddings")
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((8, 64))
+    cols = [
+        F.when(F.aggregate(
+            F.zip_with("embedding",
+                       F.array(*[F.lit(float(v)) for v in planes[i]]),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda a, x: a + x) > 0, 1).otherwise(0).alias(f"b{i}")
+        for i in range(8)]
+    sig = e.select("vec_id", "embedding", *cols)
+    sig = sig.withColumn(
+        "bucket", F.concat_ws("", *[F.col(f"b{i}") for i in range(8)]))
+    qb = sig.where("vec_id = 0").select(
+        F.col("bucket").alias("qbucket"),
+        F.col("embedding").alias("qe"))
+    cand = sig.where("vec_id <> 0").join(
+        F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda a, x: a + x)
+    return (cand.select("vec_id", F.round(dot, 4).alias("dot"))
+            .orderBy(F.desc("dot"), F.asc("vec_id")).limit(10))
+
+
+@q("multimodal_stub_features", None)
+def multimodal_stub_features(spark, sf):
+    """Multimodal plumbing: documents' text bytes stand in for an
+    opaque binary payload column; a mapInPandas feature extractor
+    produces typed metadata. The decode step is a deterministic stub
+    (no image/audio libs in this container) — the Spark-side schema,
+    partitioning and batch shape are real."""
+    from kg.stages.multimodal import extract_binary_features
+
+    d = (_t(spark, sf, "documents")
+         .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    return extract_binary_features(d)
+
+
+def queries():
+    return {name: fn for name, (fn, _) in Q.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (fn, sql) in Q.items() if sql is not None}
