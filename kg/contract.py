@@ -640,9 +640,9 @@ def kg_connected_components(spark, sf):
     from kg.stages.extract import detect_mentions
 
     norms = detect_mentions(_fixture_t0(spark)).select("norm")
-    signed = canon.minhash_signatures(norms)
-    edges = canon.verify_pairs(
-        canon.candidate_pairs(canon.lsh_bands(signed)))
+    signed = canon.minhash_signatures(norms).persist()
+    banded = canon.lsh_bands(signed).persist()
+    edges = canon.verify_pairs(canon.candidate_pairs(banded))
     comps = canon.connected_components(signed.select("node"), edges)
     return (comps.groupBy("component")
             .agg(F.count("*").alias("cluster_size"))
@@ -669,9 +669,7 @@ def minhash_lsh_dedup(spark, sf):
     d = (_t(spark, sf, "documents")
          .select(F.lower(F.substring("text", 1, 120)).alias("norm"))
          .distinct())
-    signed = canon.minhash_signatures(d)
-    pairs = canon.candidate_pairs(canon.lsh_bands(signed))
-    return canon.verify_pairs(pairs, tau=0.5) \
+    return canon.near_duplicate_edges(d, tau=0.5) \
         .select("src", "dst", F.round("sim", 4).alias("sim"))
 
 

@@ -34,7 +34,12 @@ def resolve_entities(scored: DataFrame, dict_df: DataFrame,
                      canonicalize_tail: bool = True) -> DataFrame:
     """B5 + C1–C4: exact-dictionary linking (broadcast joins), then
     long-tail canonicalization of dictionary-miss norms via
-    minhash/LSH + connected components."""
+    minhash/LSH + connected components.
+
+    The linked frame is persisted: it feeds both the miss-detection
+    scan and the final join, and upstream of it sits the expensive
+    scoring UDF — recomputing that would double the Python-path cost.
+    """
     linked = link.link_instances(scored, dict_df)
     if not canonicalize_tail:
         return (linked
@@ -42,11 +47,17 @@ def resolve_entities(scored: DataFrame, dict_df: DataFrame,
                             F.coalesce("head_entity", "head_norm"))
                 .withColumn("tail_entity",
                             F.coalesce("tail_entity", "tail_norm")))
+    linked = linked.persist()
     missed = (linked.where(F.col("head_entity").isNull())
               .select(F.col("head_norm").alias("norm"))
               .union(linked.where(F.col("tail_entity").isNull())
                      .select(F.col("tail_norm").alias("norm")))
               .distinct())
+    if missed.isEmpty():
+        # common fast path: every mention linked exactly — skip the
+        # whole minhash/CC side plan (it would still cost a dozen
+        # empty jobs in the iterative loop)
+        return linked
     mapping = canon.canonicalize_norms(missed, dict_df)
     # the dictionary-miss tail is small by construction → broadcast
     h = F.broadcast(mapping.select(F.col("norm").alias("head_norm"),
@@ -67,7 +78,11 @@ def extract_and_score(spark: SparkSession, transcripts: DataFrame,
     if weights_bc is None:
         weights_bc = score.broadcast_weights(spark)
     instances = extract.extract_instances(transcripts)
-    return score.score_instances(instances, weights_bc, threshold=threshold)
+    scored = score.score_instances(instances, weights_bc,
+                                   threshold=threshold)
+    # token ids are dead weight downstream of the scorer — dropping
+    # them here shrinks every later shuffle/persist/checkpoint write
+    return scored.drop("token_ids")
 
 
 def run(spark: SparkSession, transcripts: DataFrame,

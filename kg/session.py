@@ -27,6 +27,14 @@ def get_spark(
     (driver convention) or all cores. On a real cluster pass
     ``master=None`` and let spark-submit own it.
     """
+    # one BLAS thread per Python worker: Spark already runs one worker
+    # per core; multi-threaded OpenBLAS inside each would oversubscribe
+    # 32×32 threads and thrash (observed: 2-3× bench variance)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS",
+                "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if master is None:
         master = f"local[{cpus}]"

@@ -113,14 +113,33 @@ def candidate_pairs(banded: DataFrame,
 
 def verify_pairs(pairs: DataFrame,
                  tau: float = spec.TAU_DUP) -> DataFrame:
-    """C2: exact char-3-gram Jaccard, JVM-side; keep sim ≥ τ → T6."""
+    """C2: exact char-3-gram Jaccard, JVM-side; keep sim ≥ τ → T6.
+
+    Perf: grams are hashed to int64 before the set ops (integer
+    array_intersect is several × cheaper than string compare at
+    100k+ candidate pairs), and |A∪B| is derived as |A|+|B|−|A∩B|
+    so array_union never materializes."""
     df = with_ngrams(pairs, "src_norm", "g1")
     df = with_ngrams(df, "dst_norm", "g2")
-    sim = (F.size(F.array_intersect("g1", "g2")).cast("double") /
-           F.size(F.array_union("g1", "g2")))
-    return (df.withColumn("sim", sim)
+    for c in ("g1", "g2"):
+        df = df.withColumn(c, F.transform(c, lambda x: F.xxhash64(x)))
+    inter = F.size(F.array_intersect("g1", "g2")).cast("double")
+    union = F.size("g1") + F.size("g2") - inter
+    return (df.withColumn("sim", inter / union)
               .where(F.col("sim") >= tau)
               .select("src", "dst", "sim"))
+
+
+def near_duplicate_edges(norms: DataFrame,
+                         tau: float = spec.TAU_DUP) -> DataFrame:
+    """C1+C2 composed with persist discipline: the banded frame feeds
+    both the bucket-size filter and the pair join, and the minhash UDF
+    sits above it — without persistence the Python signature pass runs
+    three times. Returns (src, dst, sim) with src < dst."""
+    signed = minhash_signatures(norms)
+    banded = lsh_bands(signed).persist()
+    edges = verify_pairs(candidate_pairs(banded), tau=tau)
+    return edges
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
@@ -142,6 +161,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                                F.col("src").alias("dst")))
            .dropDuplicates(["src", "dst"])
            .localCheckpoint())
+    if sym.isEmpty():
+        return nodes.select("node", F.col("node").alias("component"))
     labels = nodes.select("node", F.col("node").alias("component"))
     labels = labels.localCheckpoint()
     for _ in range(max_iter):
@@ -169,8 +190,8 @@ def canonicalize_norms(norms: DataFrame, dict_df: DataFrame) -> DataFrame:
     (lexicographically-first linked member), else the cluster's
     lexicographically-first norm.
     """
-    signed = minhash_signatures(norms)
-    banded = lsh_bands(signed)
+    signed = minhash_signatures(norms).persist()
+    banded = lsh_bands(signed).persist()
     edges = verify_pairs(candidate_pairs(banded))
     comps = connected_components(signed.select("node"), edges)
 
