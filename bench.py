@@ -136,7 +136,12 @@ def main() -> None:
                 [sys.executable, __file__, "--cpus", str(cpus),
                  "--json-only"],
                 capture_output=True, text=True, check=True,
-                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir})
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
+                     # 10× corpus: compute must dominate fixed costs
+                     # (JVM+worker-pool spin-up) for an honest
+                     # parallelism-scaling measurement
+                     "KG_BENCH_CONVS": os.environ.get(
+                         "KG_BENCH_CONVS_SCALING", "80000")})
             results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
         t8, t32 = (results[8]["turns_per_sec"],
                    results[32]["turns_per_sec"])
@@ -146,7 +151,7 @@ def main() -> None:
             "value": round(eff, 3), "unit": "ratio", "sf": sf,
             "turns_per_sec_local8": t8, "turns_per_sec_local32": t32,
             "n_turns": results[32]["n_turns"],
-            "queries": {f"local{c}": r["timings"]
+            "queries": {f"local{c}": r["queries"]
                         for c, r in results.items()},
         }
         print(json.dumps(payload))

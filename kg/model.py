@@ -114,14 +114,30 @@ def forward(p, ids, heads, tails, lens, want_cache=False):
     valid = (np.arange(ids.shape[1])[None, :] < lens[:, None])
     X = X * valid[:, :, None]
     cols = _im2col(X)                                 # (B,T,COL)
-    conv = cols @ p["W_conv"] + p["b_conv"]           # (B,T,F)
+    conv = cols @ p["W_conv"] + p["b_conv"]           # (B,T,F) float32
     masks = _segment_masks(ids.shape[1], heads, tails, lens)
-    cm = np.where(masks[:, :, :, None], conv[:, None, :, :], _NEG)  # (B,3,T,F)
-    arg = cm.argmax(axis=2)                           # (B,3,F)
-    pooled = np.take_along_axis(cm, arg[:, :, None, :], axis=2)[:, :, 0, :]
-    pooled = np.where(pooled <= _NEG / 2, 0.0, pooled)  # empty segment → 0
-    g = np.tanh(pooled.reshape(len(ids), -1))         # (B,3F)
-    logits = g @ p["W_out"] + p["b_out"]
+    # piecewise max-pool, one contiguous (B,T,F) float32 temp per
+    # segment. (A single (B,3,T,F) masked tensor upcast to float64 —
+    # the naive formulation — costs ~400MB/batch and dominated the
+    # scorer's runtime.)
+    B, T, Fn = conv.shape
+    neg = np.float32(_NEG)
+    pooled = np.empty((B, 3, Fn), dtype=np.float32)
+    arg = np.empty((B, 3, Fn), dtype=np.int64) if want_cache else None
+    for s in range(3):
+        off = np.where(masks[:, s, :], np.float32(0), neg)[:, :, None]
+        tmp = conv + off                              # (B,T,F) f32
+        if want_cache:
+            a = tmp.argmax(axis=1)                    # (B,F)
+            arg[:, s, :] = a
+            pooled[:, s, :] = np.take_along_axis(
+                tmp, a[:, None, :], axis=1)[:, 0, :]
+        else:
+            pooled[:, s, :] = tmp.max(axis=1)
+    pooled = np.where(pooled <= neg / 2, np.float32(0), pooled)
+    g = np.tanh(pooled.reshape(B, -1))                # (B,3F)
+    # softmax in float64 for numerically stable probabilities
+    logits = (g @ p["W_out"] + p["b_out"]).astype(np.float64)
     z = logits - logits.max(axis=1, keepdims=True)
     ez = np.exp(z)
     probs = ez / ez.sum(axis=1, keepdims=True)
