@@ -77,12 +77,8 @@ def extract_and_score(spark: SparkSession, transcripts: DataFrame,
                       threshold: float = spec.REL_THRESHOLD) -> DataFrame:
     if weights_bc is None:
         weights_bc = score.broadcast_weights(spark)
-    instances = extract.extract_instances(transcripts)
-    scored = score.score_instances(instances, weights_bc,
-                                   threshold=threshold)
-    # token ids are dead weight downstream of the scorer — dropping
-    # them here shrinks every later shuffle/persist/checkpoint write
-    return scored.drop("token_ids")
+    return score.extract_and_score_fused(transcripts, weights_bc,
+                                         threshold=threshold)
 
 
 def run(spark: SparkSession, transcripts: DataFrame,

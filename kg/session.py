@@ -54,7 +54,10 @@ def get_spark(
                 str(spec.ARROW_BATCH))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
-                os.environ.get("KG_DRIVER_MEMORY", "8g"))
+                # local[N] runs everything in the driver JVM: a small
+                # heap GC-thrashes at 32 concurrent tasks (measured 2×
+                # slowdown at 8g)
+                os.environ.get("KG_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
