@@ -182,12 +182,13 @@ def main() -> None:
                # 10× corpus: compute must dominate fixed costs
                # (JVM + worker-pool spin-up) for an honest measurement
                "KG_BENCH_CONVS": os.environ.get(
-                   "KG_BENCH_CONVS_SCALING", "80000")}
+                   "KG_BENCH_CONVS_SCALING", "400000")}
         # interleave the levels twice: the sandbox host is time-shared
         # and its capacity drifts on minute timescales — sequential
         # one-shot runs of each level are not comparable
         best: dict[int, dict] = {}
-        for round_ in range(2):
+        rounds = int(os.environ.get("KG_SCALING_ROUNDS", "3"))
+        for round_ in range(rounds):
             for cpus in levels:
                 out = subprocess.run(
                     [sys.executable, __file__, "--cpus", str(cpus),

@@ -36,9 +36,10 @@ def resolve_entities(scored: DataFrame, dict_df: DataFrame,
     long-tail canonicalization of dictionary-miss norms via
     minhash/LSH + connected components.
 
-    The linked frame is persisted: it feeds both the miss-detection
-    scan and the final join, and upstream of it sits the expensive
-    scoring UDF — recomputing that would double the Python-path cost.
+    Callers must pass a MATERIALIZED ``scored`` frame (checkpointed or
+    parquet-backed): this function scans it multiple times (linking,
+    miss-detection, final join), and re-running the scoring UDF per
+    scan would multiply the Python-path cost.
     """
     linked = link.link_instances(scored, dict_df)
     if not canonicalize_tail:
@@ -47,7 +48,6 @@ def resolve_entities(scored: DataFrame, dict_df: DataFrame,
                             F.coalesce("head_entity", "head_norm"))
                 .withColumn("tail_entity",
                             F.coalesce("tail_entity", "tail_norm")))
-    linked = linked.persist()
     missed = (linked.where(F.col("head_entity").isNull())
               .select(F.col("head_norm").alias("norm"))
               .union(linked.where(F.col("tail_entity").isNull())
@@ -100,11 +100,20 @@ def run(spark: SparkSession, transcripts: DataFrame,
             spark, checkpoint_root, "scored", snap, transcripts,
             _extract_fn, bucket_key="conv_id", n_buckets=n_buckets)
     else:
-        scored_df = _extract_fn(transcripts)
+        # materialize the scorer output ONCE: everything downstream
+        # (linking, miss-detection, dedup, adjacency) scans it several
+        # times, and the scoring UDF is the dominant cost of the whole
+        # pipeline. The checkpointed branch above gets the same effect
+        # from its parquet commit.
+        scored_df = _extract_fn(transcripts).localCheckpoint(eager=True)
 
     dict_df = link.dictionary_df(spark)
     resolved = resolve_entities(scored_df, dict_df)
-    raw = triples.emit_triples(resolved)
+    # materialize the narrow 6-column occurrence frame once: both D2
+    # aggregations (triples, adjacency) and any caller action scan it,
+    # and evaluating the scorer-side projections repeatedly through
+    # the join tree measured ~5× slower than re-reading a checkpoint
+    raw = triples.emit_triples(resolved).localCheckpoint(eager=True)
     t8 = triples.dedup_aggregate(raw)
     t9 = triples.build_adjacency(t8)
     return {"scored": scored_df, "triples": t8, "adjacency": t9}
