@@ -302,6 +302,16 @@ def load_params(path: str) -> dict[str, np.ndarray]:
         return {k: z[k] for k in z.files}
 
 
+def load_default_params() -> dict[str, np.ndarray]:
+    """Load the committed frozen weights. importlib.resources works
+    when the package ships inside a spark-submit --py-files zip, where
+    a plain filesystem path into the archive does not."""
+    from importlib import resources
+
+    data = resources.files("kg").joinpath("weights.npz").read_bytes()
+    return params_from_bytes(data)
+
+
 def params_to_bytes(p: dict[str, np.ndarray]) -> bytes:
     buf = io.BytesIO()
     np.savez_compressed(buf, **p)

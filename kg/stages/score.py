@@ -157,6 +157,5 @@ def extract_and_score_fused(
 def broadcast_weights(spark, params: dict | None = None):
     """Broadcast the frozen model once per job (npz-compressed bytes)."""
     if params is None:
-        from kg.train import WEIGHTS_PATH
-        params = model.load_params(WEIGHTS_PATH)
+        params = model.load_default_params()
     return spark.sparkContext.broadcast(model.params_to_bytes(params))
