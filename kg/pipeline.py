@@ -40,8 +40,15 @@ def resolve_entities(scored: DataFrame, dict_df: DataFrame,
     parquet-backed): this function scans it multiple times (linking,
     miss-detection, final join), and re-running the scoring UDF per
     scan would multiply the Python-path cost.
+
+    If the frame already carries head_entity/tail_entity (the fused
+    extractor resolves the exact dictionary in-UDF), the broadcast
+    linking joins are skipped and only the miss tail is processed.
     """
-    linked = link.link_instances(scored, dict_df)
+    if "head_entity" in scored.columns:
+        linked = scored
+    else:
+        linked = link.link_instances(scored, dict_df)
     if not canonicalize_tail:
         return (linked
                 .withColumn("head_entity",

@@ -84,8 +84,10 @@ def score_instances(
     return scored
 
 
-FUSED_SCHEMA = T.StructType([
-    f for f in schemas.SCORED.fields if f.name != "token_ids"])
+FUSED_SCHEMA = T.StructType(
+    [f for f in schemas.SCORED.fields if f.name != "token_ids"]
+    + [T.StructField("head_entity", T.StringType()),
+       T.StructField("tail_entity", T.StringType())])
 
 
 def extract_and_score_fused(
@@ -93,16 +95,20 @@ def extract_and_score_fused(
     weights_bc,
     threshold: float = spec.REL_THRESHOLD,
 ) -> DataFrame:
-    """B1–B4 in ONE mapInPandas pass: tokenize → mentions → pairs →
-    PCNN scoring inside a single Python worker per task.
+    """B1–B4 (+ B5's exact path) in ONE mapInPandas pass: tokenize →
+    mentions → pairs → PCNN scoring inside a single Python worker per
+    task, emitting the gazetteer-resolved canonical entity directly
+    (the gazetteer and the B5 exact dictionary are the same pinned
+    inventory, so in-UDF resolution ≡ the broadcast dictionary join;
+    dictionary-miss mentions come out with NULL entity and flow to the
+    C1–C4 long-tail canonicalizer).
 
     Why fused: two chained mapInPandas operators run TWO Python
     workers per task (the stages pipeline-stream), doubling the
     process count and shipping the token_ids arrays — the widest
-    column — through an extra JVM↔Python Arrow round-trip. Fusing
-    halves the worker pool and keeps token ids entirely inside one
-    worker. (Measured: +45% extraction throughput at local[16].)
-    The unfused stages remain for unit tests and the driver contract.
+    column — through an extra JVM↔Python Arrow round-trip; the
+    downstream linking joins then re-scanned the scored table. The
+    unfused stages remain for unit tests and the driver contract.
     """
     rels = np.array(spec.RELATIONS)
     na_id = spec.REL_TO_ID[spec.NA_RELATION]
@@ -137,7 +143,8 @@ def extract_and_score_fused(
                  pr["head_norm"], pr["tail_norm"],
                  pr["head_mtype"], pr["tail_mtype"],
                  pr["head_pos"], pr["tail_pos"],
-                 rels[lb], np.float32(pb))
+                 rels[lb], np.float32(pb),
+                 pr["head_canonical"], pr["tail_canonical"])
                 for (cid, ti, pr), lb, pb, k in zip(rows, lab, prob, keep)
                 if k]
             yield pd.DataFrame(out, columns=out_cols)
