@@ -53,6 +53,22 @@ def test_tokenizer_pins():
             assert spec.tokenize(row["text"]) == row["tokens"]
 
 
+def test_pipeline_permutation_invariant(spark):
+    """BASELINE.json:15 end-to-end: any input row order produces the
+    identical triple set (stable turn ordering is the pipeline's job,
+    never an input assumption)."""
+    from pyspark.sql import functions as F
+
+    pdf, _ = datagen.generate(n_conversations=30, seed=7)
+    t0 = spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+    perm = t0.orderBy(F.desc("text"), F.asc("conv_id")).coalesce(1)
+    a = pipeline.run(spark, t0)["triples"] \
+        .select("subj", "pred", "obj", "n_support")
+    b = pipeline.run(spark, perm)["triples"] \
+        .select("subj", "pred", "obj", "n_support")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
 def test_confidence_and_support_sane(e2e_result):
     t8, _ = e2e_result
     rows = t8.collect()
