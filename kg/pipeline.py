@@ -108,19 +108,21 @@ def run(spark: SparkSession, transcripts: DataFrame,
             _extract_fn, bucket_key="conv_id", n_buckets=n_buckets)
     else:
         # materialize the scorer output ONCE: everything downstream
-        # (linking, miss-detection, dedup, adjacency) scans it several
-        # times, and the scoring UDF is the dominant cost of the whole
-        # pipeline. The checkpointed branch above gets the same effect
-        # from its parquet commit.
-        scored_df = _extract_fn(transcripts).localCheckpoint(eager=True)
+        # (miss-detection, dedup, adjacency) scans it several times,
+        # and the scoring UDF is the dominant cost of the whole
+        # pipeline. Project to the columns the rest of the pipeline
+        # needs before checkpointing — surfaces/mtypes/positions are
+        # extraction metadata that would double the materialized size.
+        # The checkpointed branch above gets the same effect from its
+        # parquet commit.
+        narrow = _extract_fn(transcripts).select(
+            "conv_id", "turn_idx", "head_norm", "tail_norm",
+            "rel", "score", "head_entity", "tail_entity")
+        scored_df = narrow.localCheckpoint(eager=True)
 
     dict_df = link.dictionary_df(spark)
     resolved = resolve_entities(scored_df, dict_df)
-    # materialize the narrow 6-column occurrence frame once: both D2
-    # aggregations (triples, adjacency) and any caller action scan it,
-    # and evaluating the scorer-side projections repeatedly through
-    # the join tree measured ~5× slower than re-reading a checkpoint
-    raw = triples.emit_triples(resolved).localCheckpoint(eager=True)
+    raw = triples.emit_triples(resolved)
     t8 = triples.dedup_aggregate(raw)
     t9 = triples.build_adjacency(t8)
     return {"scored": scored_df, "triples": t8, "adjacency": t9}
