@@ -331,6 +331,45 @@ def set_ops(spark, sf):
             .intersect(e.where("event_id >= 5000").select("event_type")))
 
 
+@q("set_except", """
+SELECT user_id FROM events WHERE event_type = 'error'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""")
+def set_except(spark, sf):
+    """F: EXCEPT — the fixture-diff shape used by the P/R computation
+    itself (FP = ours EXCEPT gold)."""
+    e = _t(spark, sf, "events")
+    # subtract = EXCEPT DISTINCT (exceptAll would keep multiplicity
+    # leftovers for users appearing in both sets)
+    return (e.where("event_type = 'error'").select("user_id")
+            .subtract(e.where("event_type = 'purchase'")
+                      .select("user_id")))
+
+
+@q("union_distinct", """
+SELECT event_type, count(*) AS n FROM (
+    SELECT event_type FROM events WHERE value > 15
+    UNION ALL
+    SELECT event_type FROM events WHERE event_id % 7 = 0
+) GROUP BY event_type
+""")
+def union_distinct(spark, sf):
+    e = _t(spark, sf, "events")
+    u = (e.where("value > 15").select("event_type")
+         .unionByName(e.where("event_id % 7 = 0").select("event_type")))
+    return u.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@q("approx_distinct", None)
+def approx_distinct(spark, sf):
+    """approx_count_distinct (HLL) — rows-only: sketch estimates are
+    engine-specific by design."""
+    return (_t(spark, sf, "lineitem").groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                 F.countDistinct("l_partkey").alias("exact_parts")))
+
+
 @q("distinct_dedup", """
 SELECT source, count(*) AS n_docs,
        count(DISTINCT md5(text)) AS n_unique
