@@ -772,6 +772,30 @@ def ann_lsh_topk(spark, sf):
             .orderBy(F.desc("dot"), F.asc("vec_id")).limit(10))
 
 
+@q("kg_bag_attention", None)
+def kg_bag_attention(spark, sf):
+    """B4 bag-level option: selective attention over instances sharing
+    an entity pair (Lin et al. 2016; inference-time reduction)."""
+    from kg.stages import bag, score
+
+    bc = score.broadcast_weights(spark)
+    return (bag.score_bags(_fixture_t0(spark), bc)
+            .select("head_entity", "rel", "tail_entity",
+                    F.round("score", 3).alias("score"), "bag_size")
+            .orderBy("head_entity", "rel", "tail_entity"))
+
+
+@q("kg_cross_turn_pairs", None)
+def kg_cross_turn_pairs(spark, sf):
+    """B3 cross-turn variant: mention pairs spanning ≤1 turn within a
+    conversation (instance counts per mtype pair)."""
+    from kg.stages.extract import cross_turn_instances
+
+    return (cross_turn_instances(_fixture_t0(spark), k=1)
+            .groupBy("head_mtype", "tail_mtype")
+            .agg(F.count("*").alias("n_pairs")))
+
+
 @q("multimodal_stub_features", None)
 def multimodal_stub_features(spark, sf):
     """Multimodal plumbing: documents' text bytes stand in for an

@@ -1,0 +1,116 @@
+"""Bag-level relation scoring with selective attention
+(SURVEY.md §2 B4 "bag-level option"; Lin et al., ACL 2016).
+
+Distant-supervision semantics: all instances sharing an entity pair
+form a bag; the bag's relation is scored by attention-weighting the
+instances instead of trusting any single sentence. This
+implementation runs at inference over the frozen PCNN: per-relation
+attention weights α_ik = softmax_i(logit_ik), bag logit
+L_k = Σ_i α_ik · logit_ik, prediction = softmax(L). (Lin16 learns the
+attention query jointly; with a frozen instance model the instance
+logits themselves are the natural query — the standard
+inference-time reduction.)
+
+Dataflow: ONE fused mapInPandas emits per-instance logits (7 floats —
+far narrower than the 384-dim pooled features), then a single
+groupBy(head, tail) with applyInPandas runs the numpy attention per
+bag. Bags are naturally small; the groupBy shuffles only
+(entity-pair, logits) rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from kg import model, spec
+
+_LOGIT_SCHEMA = ("conv_id string, turn_idx int, head_norm string, "
+                 "tail_norm string, head_entity string, "
+                 "tail_entity string, logits array<float>")
+
+BAG_SCHEMA = ("head_norm string, tail_norm string, head_entity string, "
+              "tail_entity string, rel string, score float, "
+              "bag_size long")
+
+
+def _instance_logits(transcripts: DataFrame, weights_bc) -> DataFrame:
+    def batches(it):
+        from kg import nlp
+        from kg.stages.score import _unpack_once
+
+        p = None
+        cols = ["conv_id", "turn_idx", "head_norm", "tail_norm",
+                "head_entity", "tail_entity", "logits"]
+        for pdf in it:
+            if p is None:
+                p = _unpack_once(weights_bc)
+            t = model.infer_tables(p)
+            rows = []
+            for conv_id, turn_idx, text in zip(
+                    pdf["conv_id"].to_numpy(), pdf["turn_idx"].to_numpy(),
+                    pdf["text"].to_numpy()):
+                toks = spec.tokenize(text or "")
+                mens = nlp.find_mentions(toks)
+                if len(mens) < 2:
+                    continue
+                for pr in nlp.pair_instances(toks, mens):
+                    rows.append((conv_id, int(turn_idx), pr))
+            if not rows:
+                yield pd.DataFrame(columns=cols)
+                continue
+            ids, h, tt, lens = model.pad_batch(
+                [r[2]["token_ids"] for r in rows],
+                [r[2]["head_pos"] for r in rows],
+                [r[2]["tail_pos"] for r in rows])
+            probs = model.forward_infer(t, ids, h, tt, lens)
+            logits = np.log(probs + 1e-12).astype(np.float32)
+            yield pd.DataFrame(
+                [(cid, ti, pr["head_norm"], pr["tail_norm"],
+                  pr["head_canonical"], pr["tail_canonical"],
+                  logits[i].tolist())
+                 for i, (cid, ti, pr) in enumerate(rows)], columns=cols)
+
+    return (transcripts.select("conv_id", "turn_idx", "text")
+            .mapInPandas(batches, schema=_LOGIT_SCHEMA))
+
+
+def score_bags(transcripts: DataFrame, weights_bc,
+               threshold: float = spec.REL_THRESHOLD) -> DataFrame:
+    """Bag-level T4: one row per (head, tail) entity pair with the
+    attention-aggregated relation. NA bags and sub-threshold bags are
+    dropped."""
+    inst = _instance_logits(transcripts, weights_bc)
+
+    def per_bag(pdf: pd.DataFrame) -> pd.DataFrame:
+        L = np.array([np.asarray(x, dtype=np.float32)
+                      for x in pdf["logits"]])           # (n, K)
+        # one attention distribution over the bag's instances, query =
+        # each instance's strongest non-NA evidence (Lin16's learned
+        # query collapses to exactly this "relationness" signal when
+        # the instance model is frozen); NA-dominated instances get
+        # exponentially small weight
+        q = L[:, 1:].max(axis=1)                          # (n,)
+        a = np.exp(q - q.max())
+        alpha = a / a.sum()
+        bag_logit = alpha @ L                             # (K,)
+        z = bag_logit - bag_logit.max()
+        probs = np.exp(z) / np.exp(z).sum()
+        k = int(probs.argmax())
+        if k == spec.REL_TO_ID[spec.NA_RELATION] or probs[k] < threshold:
+            return pd.DataFrame(columns=[
+                "head_norm", "tail_norm", "head_entity", "tail_entity",
+                "rel", "score", "bag_size"])
+        return pd.DataFrame([{
+            "head_norm": pdf["head_norm"].iloc[0],
+            "tail_norm": pdf["tail_norm"].iloc[0],
+            "head_entity": pdf["head_entity"].iloc[0],
+            "tail_entity": pdf["tail_entity"].iloc[0],
+            "rel": spec.RELATIONS[k],
+            "score": np.float32(probs[k]),
+            "bag_size": len(pdf),
+        }])
+
+    return (inst.groupBy("head_norm", "tail_norm")
+            .applyInPandas(per_bag, schema=BAG_SCHEMA))

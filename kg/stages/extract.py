@@ -69,6 +69,60 @@ def _mention_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=cols)
 
 
+def cross_turn_instances(transcripts: DataFrame, k: int = 1,
+                         cap_per_turn: int = 8) -> DataFrame:
+    """B3 cross-turn variant: mention pairs spanning turns ≤ k apart
+    within a conversation (SURVEY.md §2 B3 "±k turn window").
+
+    Instance text = head turn ⊕ '.' ⊕ tail turn (the separator is an
+    in-vocab punctuation token, so the frozen PCNN vocabulary is
+    unchanged). Runs as groupBy(conv_id).applyInPandas — one shuffle
+    on the conversation key, the same partitioning every per-conv
+    stage uses (E4); pathological conversations are bounded upstream
+    by A3 sessionization.
+
+    Off the default pipeline path: the frozen scorer was trained on
+    intra-turn instances, so cross-turn pairs are scored conservatively
+    (mostly NA) until a cross-turn-trained checkpoint ships.
+    """
+    import pandas as pd  # noqa: F811 (worker-side)
+
+    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        from kg import nlp, spec
+
+        pdf = pdf.sort_values("turn_idx")
+        cols = ["conv_id", "turn_idx", "head_surface", "tail_surface",
+                "head_norm", "tail_norm", "head_mtype", "tail_mtype",
+                "token_ids", "head_pos", "tail_pos"]
+        turns = []
+        for turn_idx, text in zip(pdf["turn_idx"], pdf["text"]):
+            toks = spec.tokenize(text or "")
+            mens = nlp.find_mentions(toks)[:cap_per_turn]
+            if mens:
+                turns.append((int(turn_idx), toks, mens))
+        rows = []
+        for i, (ti, toks_i, mens_i) in enumerate(turns):
+            for tj, toks_j, mens_j in turns[i + 1:]:
+                if tj - ti > k:
+                    break
+                joined = toks_i + ["."] + toks_j
+                ids = spec.token_ids(joined)
+                off = len(toks_i) + 1
+                for a in mens_i:
+                    for b in mens_j:
+                        rows.append((pdf["conv_id"].iloc[0], ti,
+                                     a["surface"], b["surface"],
+                                     a["norm"], b["norm"],
+                                     a["mtype"], b["mtype"],
+                                     ids, a["span_start"],
+                                     b["span_start"] + off))
+        return pd.DataFrame(rows, columns=cols)
+
+    return (transcripts.select("conv_id", "turn_idx", "text")
+            .groupBy("conv_id")
+            .applyInPandas(per_conv, schema=schemas.MENTION_PAIRS))
+
+
 def detect_mentions(transcripts: DataFrame) -> DataFrame:
     """T0 → T2 (standalone B2 surface, used by canonicalization and
     tests). mention_id is a deterministic hash — NOT

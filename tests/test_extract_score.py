@@ -68,6 +68,29 @@ def test_type_filter_blocks_signature_violations(spark):
     assert typed.count() >= filtered.count()
 
 
+def test_cross_turn_instances(spark):
+    rows = [
+        ("c1", 0, "user", "we should ask Ann Barard about it", None,
+         datetime(2024, 1, 1)),
+        ("c1", 1, "assistant", "she joined Acme Corp last spring", None,
+         datetime(2024, 1, 1)),
+        ("c1", 3, "user", "also Dataquill is relevant", None,
+         datetime(2024, 1, 1)),  # 2 turns after → outside k=1
+    ]
+    df = spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)
+    out = extract.cross_turn_instances(df, k=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["head_norm"], r["tail_norm"]) == ("ann barard", "acme corp")
+    # tail position offset past head turn + separator
+    toks_head = 7  # "we should ask Ann Barard about it"
+    assert r["head_pos"] == 3 and r["tail_pos"] > toks_head
+    # token at tail_pos is the first token of the tail mention
+    from kg import spec
+    vocab_inv = {v: k for k, v in spec.vocabulary().items()}
+    assert vocab_inv[r["token_ids"][r["tail_pos"]]] == "acme"
+
+
 def test_link_exact_broadcast(spark):
     df = spark.createDataFrame(
         [("acme corp",), ("unknown thing",)], "head_norm string")
