@@ -27,7 +27,8 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kg import spec
-from kg.stages import canon, checkpoint, extract, link, score, triples
+from kg.stages import (canon, checkpoint, extract, link, metrics, score,
+                       triples)
 
 
 def resolve_entities(scored: DataFrame, dict_df: DataFrame,
@@ -92,9 +93,11 @@ def run(spark: SparkSession, transcripts: DataFrame,
         weights_bc=None, checkpoint_root: str | None = None,
         n_buckets: int = 16) -> dict[str, DataFrame]:
     """The full pipeline. Returns {'triples': T8, 'adjacency': T9,
-    'scored': T4}. With ``checkpoint_root``, extraction+scoring runs
-    under the bucket-commit protocol and a rerun resumes from the
-    manifest (E2/A5)."""
+    'scored': T4-narrow, 'observations': {stage: Observation}} — the
+    observations fill for free when the caller's first action runs
+    (E1). With ``checkpoint_root``, extraction+scoring runs under the
+    bucket-commit protocol and a rerun resumes from the manifest
+    (E2/A5)."""
     if weights_bc is None:
         weights_bc = score.broadcast_weights(spark)
 
@@ -123,9 +126,20 @@ def run(spark: SparkSession, transcripts: DataFrame,
     dict_df = link.dictionary_df(spark)
     resolved = resolve_entities(scored_df, dict_df)
     raw = triples.emit_triples(resolved)
+    # E1: free-riding row counters — collected when the caller's
+    # action runs; read via out["observations"][stage].get.
+    # Observation names must be session-unique, hence the sequence.
+    global _RUN_SEQ
+    _RUN_SEQ += 1
+    raw, obs_raw = metrics.observed(raw, f"occurrences_{_RUN_SEQ}")
     t8 = triples.dedup_aggregate(raw)
+    t8, obs_t8 = metrics.observed(t8, f"triples_{_RUN_SEQ}")
     t9 = triples.build_adjacency(t8)
-    return {"scored": scored_df, "triples": t8, "adjacency": t9}
+    return {"scored": scored_df, "triples": t8, "adjacency": t9,
+            "observations": {"occurrences": obs_raw, "triples": obs_t8}}
+
+
+_RUN_SEQ = 0
 
 
 def snapshot_id_of(df: DataFrame) -> str:

@@ -21,7 +21,12 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 def e2e_result(spark):
     pdf, gold = datagen.generate(n_conversations=120, seed=42)
     t0 = spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
-    t8 = pipeline.run(spark, t0)["triples"].cache()
+    out = pipeline.run(spark, t0)
+    t8 = out["triples"].cache()
+    n = t8.count()
+    # E1 observations ride the action for free
+    assert out["observations"]["triples"].get["rows"] == n
+    assert out["observations"]["occurrences"].get["rows"] >= n
     return t8, set(gold)
 
 
