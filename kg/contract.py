@@ -203,6 +203,49 @@ def rollup_agg(spark, sf):
                  F.round(F.sum("l_quantity"), 2).alias("qty")))
 
 
+@q("grouping_sets", """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+""")
+def grouping_sets(spark, sf):
+    """F: explicit GROUPING SETS — exercised through spark.sql (the
+    SQL entry path) rather than the DataFrame API."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag),
+                                (l_returnflag, l_linestatus), ())
+    """)
+
+
+@q("map_funcs", None)
+def map_funcs(spark, sf):
+    """F: map functions (map_from_entries / map_keys / element access)
+    — rows-only (map value-hash rendering is engine-specific)."""
+    per_flag = (_t(spark, sf, "lineitem")
+                .groupBy("l_returnflag")
+                .agg(F.count("*").alias("n")))
+    m = (per_flag.agg(F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("l_returnflag", "n"))))
+        .alias("m")))
+    return m.select(
+        F.to_json("m").alias("as_json"),
+        F.array_join(F.map_keys("m"), ",").alias("keys"),
+        F.element_at("m", "A").alias("n_A"))
+
+
+@q("posexplode_tokens", None)
+def posexplode_tokens(spark, sf):
+    """F: posexplode (ordinal lateral view) — rows-only (DuckDB unnest
+    has no ordinality in 1.0)."""
+    toks = F.split("text", " ")
+    return (_t(spark, sf, "documents").where("doc_id < 20")
+            .select("doc_id", F.posexplode(toks).alias("pos", "word"))
+            .where(F.col("pos") < 5))
+
+
 @q("cube_agg", """
 SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
 FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))

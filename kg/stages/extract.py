@@ -70,7 +70,8 @@ def _mention_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def cross_turn_instances(transcripts: DataFrame, k: int = 1,
-                         cap_per_turn: int = 8) -> DataFrame:
+                         cap_per_turn: int = 8,
+                         chunk: int = 256) -> DataFrame:
     """B3 cross-turn variant: mention pairs spanning turns ≤ k apart
     within a conversation (SURVEY.md §2 B3 "±k turn window").
 
@@ -84,6 +85,11 @@ def cross_turn_instances(transcripts: DataFrame, k: int = 1,
     Off the default pipeline path: the frozen scorer was trained on
     intra-turn instances, so cross-turn pairs are scored conservatively
     (mostly NA) until a cross-turn-trained checkpoint ships.
+
+    Boundedness: groups are (conv_id, turn_idx // chunk) so the hot
+    conversation (10^9-turn worst case) never lands in one task; pairs
+    that span a chunk boundary (≤ k/chunk of the total) are dropped —
+    the documented cap, not a silent truncation.
     """
     import pandas as pd  # noqa: F811 (worker-side)
 
@@ -118,8 +124,12 @@ def cross_turn_instances(transcripts: DataFrame, k: int = 1,
                                      b["span_start"] + off))
         return pd.DataFrame(rows, columns=cols)
 
+    from pyspark.sql import functions as F
+
     return (transcripts.select("conv_id", "turn_idx", "text")
-            .groupBy("conv_id")
+            .withColumn("_chunk",
+                        F.floor(F.col("turn_idx") / chunk).cast("int"))
+            .groupBy("conv_id", "_chunk")
             .applyInPandas(per_conv, schema=schemas.MENTION_PAIRS))
 
 
