@@ -96,18 +96,28 @@ def candidate_pairs(banded: DataFrame,
                     block_cap: int = spec.BLOCK_CAP) -> DataFrame:
     """C1c: nodes sharing an LSH bucket, as distinct (src, dst) with
     src < dst. Oversized buckets (super-common surfaces) are dropped
-    with an observable count, never silently truncated."""
+    with an observable count, never silently truncated.
+
+    The hashed char-3-gram array of each side rides through the pair
+    join (columns g1/g2): computing grams once per block row instead
+    of once per candidate pair is ~100× fewer string ops when bands
+    collide heavily."""
     sizes = banded.groupBy("band", "bhash").agg(F.count("*").alias("bsz"))
     ok = sizes.where(F.col("bsz").between(2, block_cap))
     in_block = banded.join(ok.select("band", "bhash"), ["band", "bhash"])
+    in_block = with_ngrams(in_block, "norm", "g")
+    in_block = in_block.withColumn(
+        "g", F.transform("g", lambda x: F.xxhash64(x)))
     a, b = in_block.alias("a"), in_block.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band")) &
                       (F.col("a.bhash") == F.col("b.bhash")) &
                       (F.col("a.node") < F.col("b.node")))
             .select(F.col("a.node").alias("src"),
                     F.col("a.norm").alias("src_norm"),
+                    F.col("a.g").alias("g1"),
                     F.col("b.node").alias("dst"),
-                    F.col("b.norm").alias("dst_norm"))
+                    F.col("b.norm").alias("dst_norm"),
+                    F.col("b.g").alias("g2"))
             .dropDuplicates(["src", "dst"]))
 
 
@@ -118,11 +128,15 @@ def verify_pairs(pairs: DataFrame,
     Perf: grams are hashed to int64 before the set ops (integer
     array_intersect is several × cheaper than string compare at
     100k+ candidate pairs), and |A∪B| is derived as |A|+|B|−|A∩B|
-    so array_union never materializes."""
-    df = with_ngrams(pairs, "src_norm", "g1")
-    df = with_ngrams(df, "dst_norm", "g2")
-    for c in ("g1", "g2"):
-        df = df.withColumn(c, F.transform(c, lambda x: F.xxhash64(x)))
+    so array_union never materializes. Pairs that already carry
+    g1/g2 (from candidate_pairs) skip the per-pair gram computation
+    entirely."""
+    df = pairs
+    if "g1" not in df.columns:
+        df = with_ngrams(df, "src_norm", "g1")
+        df = with_ngrams(df, "dst_norm", "g2")
+        for c in ("g1", "g2"):
+            df = df.withColumn(c, F.transform(c, lambda x: F.xxhash64(x)))
     inter = F.size(F.array_intersect("g1", "g2")).cast("double")
     union = F.size("g1") + F.size("g2") - inter
     return (df.withColumn("sim", inter / union)
