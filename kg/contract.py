@@ -42,12 +42,14 @@ def q(name: str, sql: str | None):
 @q("filter_project", """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '2024-06-01' AND l_quantity > 40
+WHERE l_shipdate >= TIMESTAMP '2000-06-01' AND l_quantity > 40
 """)
 def filter_project(spark, sf):
-    """A1/F: predicate + projection pushed to the parquet scan."""
+    """A1/F: predicate + projection pushed to the parquet scan.
+    Cutoff sits inside the data's 1995–2001 shipdate range so the
+    check is non-vacuous (~2.4k rows at sf0.01)."""
     return (_t(spark, sf, "lineitem")
-            .where((F.col("l_shipdate") >= "2024-06-01")
+            .where((F.col("l_shipdate") >= "2000-06-01")
                    & (F.col("l_quantity") > 40))
             .select("l_orderkey", "l_linenumber", "l_quantity",
                     "l_extendedprice"))
@@ -71,7 +73,8 @@ def join_inner(spark, sf):
 @q("join_left_outer", """
 SELECT c.c_nationkey AS nationkey,
        count(*) AS n_customers,
-       sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_inactive
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_inactive
 FROM customer c LEFT JOIN (
     SELECT DISTINCT o_custkey, min(o_orderkey) AS o_orderkey
     FROM orders GROUP BY o_custkey) o
@@ -105,12 +108,16 @@ def join_semi(spark, sf):
 @q("join_anti", """
 SELECT c_mktsegment AS mktsegment, count(*) AS n
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 400000)
 GROUP BY c_mktsegment
 """)
 def join_anti(spark, sf):
-    """F: left-anti ≡ NOT EXISTS — the A5 resume anti-accounting shape."""
-    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    """F: left-anti ≡ NOT EXISTS — the A5 resume anti-accounting shape.
+    Restricted to big orders: every customer has SOME order, so the
+    unrestricted anti-join is empty (vacuous check)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(F.col("o_totalprice") > 400000)
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
             .groupBy(F.col("c_mktsegment").alias("mktsegment"))
             .agg(F.count("*").alias("n")))
@@ -220,10 +227,19 @@ def grouping_sets(spark, sf):
     """)
 
 
-@q("map_funcs", None)
+@q("map_funcs", """
+WITH pf AS (SELECT l_returnflag, count(*) AS n FROM lineitem
+            GROUP BY l_returnflag)
+SELECT '{' || string_agg('"' || l_returnflag || '":' || n, ','
+                         ORDER BY l_returnflag) || '}' AS as_json,
+       string_agg(l_returnflag, ',' ORDER BY l_returnflag) AS keys,
+       max(CASE WHEN l_returnflag = 'A' THEN n END) AS n_A
+FROM pf
+""")
 def map_funcs(spark, sf):
-    """F: map functions (map_from_entries / map_keys / element access)
-    — rows-only (map value-hash rendering is engine-specific)."""
+    """F: map functions (map_from_entries / map_keys / element access).
+    Oracle-comparable: the map is rendered through to_json (sorted
+    entry order), which DuckDB reproduces with an ordered string_agg."""
     per_flag = (_t(spark, sf, "lineitem")
                 .groupBy("l_returnflag")
                 .agg(F.count("*").alias("n")))
@@ -236,10 +252,16 @@ def map_funcs(spark, sf):
         F.element_at("m", "A").alias("n_A"))
 
 
-@q("posexplode_tokens", None)
+@q("posexplode_tokens", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE doc_id < 20)
+SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, toks[u.i] AS word
+FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) u
+WHERE u.i <= 5
+""")
 def posexplode_tokens(spark, sf):
-    """F: posexplode (ordinal lateral view) — rows-only (DuckDB unnest
-    has no ordinality in 1.0)."""
+    """F: posexplode (ordinal lateral view); DuckDB gets ordinality
+    from a LATERAL generate_series over the array subscripts."""
     toks = F.split("text", " ")
     return (_t(spark, sf, "documents").where("doc_id < 20")
             .select("doc_id", F.posexplode(toks).alias("pos", "word"))
@@ -375,14 +397,16 @@ def set_ops(spark, sf):
 
 
 @q("set_except", """
-SELECT user_id FROM events WHERE event_type = 'error'
+SELECT user_id FROM events WHERE event_type = 'error' AND event_id < 500
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'purchase'
+SELECT user_id FROM events WHERE event_type = 'purchase' AND event_id < 500
 """)
 def set_except(spark, sf):
     """F: EXCEPT — the fixture-diff shape used by the P/R computation
-    itself (FP = ours EXCEPT gold)."""
-    e = _t(spark, sf, "events")
+    itself (FP = ours EXCEPT gold). The event_id window keeps both
+    sides partial samples of the user set so the difference is
+    non-empty (every user has both event types overall)."""
+    e = _t(spark, sf, "events").where("event_id < 500")
     # subtract = EXCEPT DISTINCT (exceptAll would keep multiplicity
     # leftovers for users appearing in both sets)
     return (e.where("event_type = 'error'").select("user_id")
@@ -644,6 +668,25 @@ def knn_cosine_bruteforce(spark, sf):
             .select("vec_id", cos.alias("_cos"))
             .orderBy(F.desc("_cos"), F.asc("vec_id")).limit(10)
             .select("vec_id", F.round("_cos", 4).alias("cos")))
+
+
+@q("udaf_confidence_merge", """
+SELECT l_orderkey,
+       CAST(floor((1 - product(1 - l_discount)) * 10000 + 0.5) AS BIGINT)
+           AS conf_e4
+FROM lineitem GROUP BY l_orderkey
+""")
+def udaf_confidence_merge(spark, sf):
+    """F: grouped-agg pandas UDAF — the D2 noisy-or confidence merge
+    (kg.stages.triples.noisy_or) applied to a SQL-checkable proxy:
+    per-order noisy-or of lineitem discounts (DuckDB product()).
+    Fixed-point via floor(x·1e4 + 0.5): identical IEEE ops on both
+    engines, immune to round()'s engine-specific decimal semantics."""
+    from kg.stages.triples import noisy_or_udaf
+
+    return (_t(spark, sf, "lineitem").groupBy("l_orderkey")
+            .agg(F.floor(noisy_or_udaf()("l_discount") * 10000 + 0.5)
+                  .alias("conf_e4")))
 
 
 @q("two_phase_salted_agg", """

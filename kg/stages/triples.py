@@ -10,9 +10,43 @@ carries pre-combined groups, which is the behavior that survives a
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 PROVENANCE_CAP = 16
+
+
+def noisy_or_udaf():
+    """Grouped-agg pandas UDAF (SURVEY.md §2-F): noisy-or confidence
+    merge, 1 − ∏(1 − sᵢ) — the probabilistic-OR of independent
+    extraction evidences. Arrow ships each group's scores as one
+    Series; the reduction is a vectorized pandas prod, no per-row
+    Python. Built lazily: pandas_udf parses its return type at
+    decoration time, which needs an active SparkContext (module import
+    happens before session creation under spark-submit)."""
+    @F.pandas_udf("double")
+    def noisy_or(scores: pd.Series) -> float:
+        return float(1.0 - (1.0 - scores).prod())
+    return noisy_or
+
+
+def dedup_aggregate_noisy_or(raw: DataFrame,
+                             provenance_cap: int = PROVENANCE_CAP
+                             ) -> DataFrame:
+    """D2 variant: confidence = noisy-or over supporting scores via the
+    grouped-agg pandas UDAF instead of max. Spark disallows mixing
+    pandas UDAFs with built-in aggregates in one agg, so the UDAF runs
+    in its own aggregation and joins the count/provenance stats — two
+    shuffles on the same key (AQE reuses the exchange). Default D2
+    stays :func:`dedup_aggregate` (single-pass, JVM-only)."""
+    key = ["subj", "pred", "obj"]
+    conf = raw.groupBy(*key).agg(
+        noisy_or_udaf()("score").alias("confidence"))
+    stats = raw.groupBy(*key).agg(
+        F.count("*").alias("n_support"),
+        F.slice(F.sort_array(F.collect_list(F.struct("conv_id", "turn_idx"))),
+                1, provenance_cap).alias("provenance"))
+    return conf.join(stats, key)
 
 
 def emit_triples(linked: DataFrame) -> DataFrame:

@@ -18,17 +18,57 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 
 def value_hash(rows: list[tuple], cols: list[str]) -> str:
+    """Order-insensitive TYPED value hash over name-sorted columns.
+
+    Typed: an integer and a float rendering of the same number hash
+    DIFFERENTLY (``i:3`` vs ``f:3``). This mirrors the driver's
+    comparison, which goes through a typed dataframe layer — DuckDB
+    HUGEINT (int128, e.g. from sum(CASE…)) surfaces there as float64
+    while Spark's BIGINT stays integer, so a string-hash that coerces
+    both to "3" passes locally and fails at the driver (round-1
+    join_left_outer). Harvest rows via ``.df()``/``toPandas()`` so the
+    engine's type mapping, not Python's, decides the tag."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def norm(v):
-        if isinstance(v, float):
-            return f"{v:.6g}"
         if isinstance(v, bool):
-            return str(int(v))
-        return str(v)
+            return f"b:{int(v)}"
+        if isinstance(v, (dt.date, dt.datetime, pd.Timestamp)):
+            # DuckDB's .df() widens DATE to midnight Timestamp while
+            # Spark keeps datetime.date — render midnight as the date
+            ts = pd.Timestamp(v)
+            return (f"t:{ts.date().isoformat()}" if ts == ts.normalize()
+                    else f"t:{ts.isoformat()}")
+        if isinstance(v, (float, np.floating)):
+            if np.isnan(v):
+                return "f:nan"
+            return f"f:{float(v):.6g}"
+        if isinstance(v, (int, np.integer)):
+            return f"i:{int(v)}"
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return "null"
+        return f"s:{v}"
 
     lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def frame_rows(pdf) -> list[tuple]:
+    """pandas frame → list of tuples, NaN/NaT/None normalized to None
+    (both engines render SQL NULL differently across dtypes)."""
+    import pandas as pd
+
+    out = []
+    for r in pdf.itertuples(index=False, name=None):
+        out.append(tuple(None if (v is None or v is pd.NaT
+                                  or (isinstance(v, float) and v != v))
+                         else v for v in r))
+    return out
 
 
 def main() -> None:
@@ -52,7 +92,7 @@ def main() -> None:
         try:
             df = fn(spark, SF_DIR)
             cols = df.columns
-            rows = [tuple(r) for r in df.collect()]
+            rows = frame_rows(df.toPandas())
         except Exception as ex:
             print(f"FAIL {name}: spark error {str(ex).splitlines()[0][:160]}")
             n_fail += 1
@@ -63,8 +103,9 @@ def main() -> None:
             continue
         try:
             res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = res.df()
+            ocols = list(opdf.columns)
+            orows = frame_rows(opdf)
         except Exception as ex:
             print(f"FAIL {name}: duckdb error {str(ex).splitlines()[0][:160]}")
             n_fail += 1
