@@ -765,9 +765,10 @@ def kg_connected_components(spark, sf):
     from kg.stages.extract import detect_mentions
 
     norms = detect_mentions(_fixture_t0(spark)).select("norm")
-    signed = canon.minhash_signatures(norms).persist()
-    banded = canon.lsh_bands(signed).persist()
-    edges = canon.verify_pairs(canon.candidate_pairs(banded))
+    feats = canon.node_features(norms).persist()
+    signed = canon.minhash_signatures(feats).persist()
+    edges = canon.verify_pairs(
+        canon.candidate_pairs(canon.lsh_bands(signed)), feats)
     comps = canon.connected_components(signed.select("node"), edges)
     return (comps.groupBy("component")
             .agg(F.count("*").alias("cluster_size"))
@@ -787,14 +788,17 @@ def kg_adjacency(spark, sf):
 
 @q("minhash_lsh_dedup", None)
 def minhash_lsh_dedup(spark, sf):
-    """MinHash+LSH near-dup candidate pairs over documents (the scale
-    path for dedup: banding keeps it O(n), never O(n²))."""
+    """MinHash+LSH near-dup edges over documents (the scale path for
+    dedup: banding keeps candidates O(n·near_dups), never O(n²)).
+    Word-shingle features: char-grams over a shared vocabulary put
+    unrelated docs at Jaccard 0.3–0.4 and degenerate banding to
+    near-all-pairs (round-1: 673k pairs / 65s — 83% of the bench);
+    3-word shingles put unrelated docs at ≈0. Exact recall vs
+    brute-force all-pairs is pinned by test_canon.py."""
     from kg.stages import canon
 
-    d = (_t(spark, sf, "documents")
-         .select(F.lower(F.substring("text", 1, 120)).alias("norm"))
-         .distinct())
-    return canon.near_duplicate_edges(d, tau=0.5) \
+    d = _t(spark, sf, "documents").select(F.lower("text").alias("norm"))
+    return canon.near_duplicate_edges(d, tau=0.5, feature="word") \
         .select("src", "dst", F.round("sim", 4).alias("sim"))
 
 

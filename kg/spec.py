@@ -76,7 +76,8 @@ MINHASH_H = 128        # signature length
 MINHASH_BANDS = 32     # bands (rows per band = 4)
 MINHASH_ROWS = MINHASH_H // MINHASH_BANDS
 MINHASH_SEED = 42
-CHAR_NGRAM = 3
+CHAR_NGRAM = 3         # feature='char' — short entity norms
+SHINGLE_W = 3          # feature='word' — documents (w-word shingles)
 BLOCK_CAP = 64         # C2: blocks larger than this are logged + dropped
 
 # ---------------------------------------------------------------------------

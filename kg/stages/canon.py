@@ -1,12 +1,21 @@
 """C1–C4 — entity canonicalization on DataFrames (SURVEY.md §2 C).
 
-- C1: minhash signatures over char-3-gram sets (Broder 1997) in a
-  vectorized pandas UDF; LSH banding + blocking stay JVM-side
-  (posexplode + xxhash64 + groupBy) so the O(n²) pair space never
-  materializes (SparkER, EDBT 2019).
-- C2: candidate pairs verified with exact Jaccard computed ENTIRELY in
-  the JVM (ngram arrays via higher-order ``transform`` +
-  ``array_intersect``/``array_union``) — no Python in the verify path.
+- C1: minhash signatures over hashed feature sets (Broder 1997).
+  Features are computed and hashed ENTIRELY JVM-side (higher-order
+  ``transform`` + ``xxhash64``): char-3-grams for short entity norms,
+  w-word shingles for documents. Granularity matters at scale: on
+  natural text with a shared vocabulary, char-3-gram Jaccard between
+  UNRELATED documents is 0.3–0.4, so banding degenerates to
+  near-all-pairs (round 1 measured 673k candidate pairs from 4,793
+  docs — 83% of the whole bench); word-shingle Jaccard between
+  unrelated documents is ≈0, so candidates stay O(n·near_dups).
+  The minhash UDF itself is a single vectorized numpy pass
+  (concatenate + minimum.reduceat) — zero per-row Python.
+- C1c: candidate pairs are deduplicated as BARE (src, dst) int64 ids —
+  the band fan-out shuffle carries 16-byte rows, never feature arrays.
+- C2: verify joins the per-NODE feature table (n rows, not pairs) onto
+  the deduped pairs and computes exact Jaccard in the JVM
+  (``array_intersect``; |A∪B| = |A|+|B|−|A∩B|).
 - C3: iterative connected components, hash-to-min message passing
   (GraphFrames-style on plain DataFrames; Kiveris et al. SoCC 2014
   family). Driver loop with ``localCheckpoint`` per iteration to
@@ -39,49 +48,17 @@ def _perm_coeffs() -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _minhash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    import zlib
-
-    from kg import nlp
-
-    a, b = _perm_coeffs()
-    au = a.astype(np.uint64)
-    bu = b.astype(np.uint64)
-    for pdf in it:
-        sigs = []
-        for norm in pdf["norm"]:
-            grams = sorted(nlp.char_ngrams(norm))
-            h = np.array([zlib.crc32(g.encode()) for g in grams],
-                         dtype=np.uint64)
-            # (G, H) universal-hash matrix, min over grams per perm
-            m = (h[:, None] * au[None, :] + bu[None, :]) % np.uint64(_MERSENNE)
-            sigs.append(m.min(axis=0).astype(np.int64))
-        yield pd.DataFrame({"norm": pdf["norm"],
-                            "sig": [s.tolist() for s in sigs]})
-
-
-def minhash_signatures(norms: DataFrame) -> DataFrame:
-    """C1a: distinct ``norm`` column → (norm, node, sig[H])."""
-    return (norms.select("norm").distinct()
-            .mapInPandas(_minhash_batches, schema="norm string, sig array<long>")
-            .withColumn("node", F.xxhash64("norm")))
-
-
-def lsh_bands(signed: DataFrame) -> DataFrame:
-    """C1b: slice each signature into b bands of r rows, hash each band
-    JVM-side → (node, norm, band, bhash)."""
-    r = spec.MINHASH_ROWS
-    bands = F.array(*[
-        F.struct(F.lit(i).alias("band"),
-                 F.xxhash64(F.slice("sig", i * r + 1, r)).alias("bhash"))
-        for i in range(spec.MINHASH_BANDS)])
-    return (signed.select("node", "norm", F.explode(bands).alias("bb"))
-            .select("node", "norm", "bb.band", "bb.bhash"))
-
-
 _NGRAMS_SQL = (
     "array_distinct(transform(sequence(0, greatest(length({p}) - {n}, 0)), "
     "i -> substr({p}, i + 1, {n})))"
+)
+
+#: w-word shingles over a space-split token array, each shingle hashed
+#: to int64 in the same expression — no string arrays materialize.
+_SHINGLES_SQL = (
+    "array_distinct(transform("
+    "sequence(1, greatest(size({t}) - {wm1}, 1)), "
+    "i -> xxhash64(concat_ws(' ', slice({t}, i, {w})))))"
 )
 
 
@@ -92,51 +69,138 @@ def with_ngrams(df: DataFrame, norm_col: str, out_col: str) -> DataFrame:
         out_col, F.expr(_NGRAMS_SQL.format(p=padded, n=spec.CHAR_NGRAM)))
 
 
+def node_features(norms: DataFrame, feature: str = "char",
+                  shingle_w: int = spec.SHINGLE_W) -> DataFrame:
+    """C1a: distinct ``norm`` column → (node, norm, f: array<long>) —
+    the hashed feature set, entirely JVM-side.
+
+    ``feature='char'``: char-3-grams — right for SHORT strings (entity
+    surface norms), where word shingles barely exist.
+    ``feature='word'``: ``shingle_w``-word shingles — right for
+    documents; between unrelated natural-text documents the shingle
+    Jaccard is ≈0 (vs 0.3–0.4 for char-3-grams), which is what keeps
+    LSH candidate generation O(n) instead of O(n²)."""
+    d = norms.select("norm").distinct()
+    if feature == "char":
+        d = with_ngrams(d, "norm", "f")
+        d = d.withColumn("f", F.transform("f", lambda x: F.xxhash64(x)))
+    elif feature == "word":
+        d = d.withColumn("_t", F.split("norm", " "))
+        d = d.withColumn("f", F.expr(_SHINGLES_SQL.format(
+            t="_t", w=shingle_w, wm1=shingle_w - 1))).drop("_t")
+    else:
+        raise ValueError(f"unknown feature mode {feature!r}")
+    return d.withColumn("node", F.xxhash64("norm"))
+
+
+def _minhash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized minhash over pre-hashed feature arrays: one
+    (total_features, H) universal-hash matrix per chunk, per-row min
+    via ``np.minimum.reduceat`` — no per-row Python, no string ops
+    (the round-1 per-norm crc32 loop was the B-side of the dedup
+    hotspot). Chunked so the temp matrix stays ≤ ~64 MB."""
+    a, b = _perm_coeffs()
+    au = a.astype(np.uint64)
+    bu = b.astype(np.uint64)
+    m64 = np.uint64(_MERSENNE)
+    max_feats = 64_000  # 64k × 128 × 8 B ≈ 64 MB temp
+    for pdf in it:
+        if len(pdf) == 0:
+            yield pd.DataFrame({"norm": pdf.get("norm", pd.Series(dtype=str)),
+                                "sig": pd.Series(dtype=object)})
+            continue
+        feats = [np.asarray(f, dtype=np.int64).view(np.uint64)
+                 for f in pdf["f"]]
+        lens = np.fromiter((len(f) for f in feats), dtype=np.int64,
+                           count=len(feats))
+        sigs = np.empty((len(feats), spec.MINHASH_H), dtype=np.int64)
+        row = 0
+        while row < len(feats):
+            end = row
+            total = 0
+            while end < len(feats) and (total == 0
+                                        or total + lens[end] <= max_feats):
+                total += lens[end]
+                end += 1
+            flat = np.concatenate(feats[row:end])
+            h = (flat[:, None] * au[None, :] + bu[None, :]) % m64
+            offsets = np.zeros(end - row, dtype=np.int64)
+            np.cumsum(lens[row:end - 1] if end - row > 1 else [],
+                      out=offsets[1:])
+            sigs[row:end] = np.minimum.reduceat(
+                h, offsets, axis=0).astype(np.int64)
+            row = end
+        yield pd.DataFrame({"norm": pdf["norm"],
+                            "sig": list(sigs)})
+
+
+def minhash_signatures(feats: DataFrame, feature: str = "char") -> DataFrame:
+    """C1a: (node, norm, f) — or a bare ``norm`` column, in which case
+    :func:`node_features` runs first — → (node, norm, sig[H])."""
+    if "f" not in feats.columns:
+        feats = node_features(feats, feature=feature)
+    return (feats.select("norm", "f")
+            .mapInPandas(_minhash_batches,
+                         schema="norm string, sig array<long>")
+            .withColumn("node", F.xxhash64("norm")))
+
+
+def lsh_bands(signed: DataFrame) -> DataFrame:
+    """C1b: slice each signature into b bands of r rows, hash each band
+    JVM-side → (node, band, bhash) — 24-byte rows into the block join,
+    no payload columns ride the fan-out."""
+    r = spec.MINHASH_ROWS
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.xxhash64(F.slice("sig", i * r + 1, r)).alias("bhash"))
+        for i in range(spec.MINHASH_BANDS)])
+    return (signed.select("node", F.explode(bands).alias("bb"))
+            .select("node", "bb.band", "bb.bhash"))
+
+
 def candidate_pairs(banded: DataFrame,
                     block_cap: int = spec.BLOCK_CAP) -> DataFrame:
-    """C1c: nodes sharing an LSH bucket, as distinct (src, dst) with
-    src < dst. Oversized buckets (super-common surfaces) are dropped
-    with an observable count, never silently truncated.
+    """C1c: nodes sharing an LSH bucket, as distinct bare (src, dst)
+    int64 ids with src < dst. Oversized buckets (super-common
+    surfaces) are dropped, never silently truncated.
 
-    The hashed char-3-gram array of each side rides through the pair
-    join (columns g1/g2): computing grams once per block row instead
-    of once per candidate pair is ~100× fewer string ops when bands
-    collide heavily."""
-    sizes = banded.groupBy("band", "bhash").agg(F.count("*").alias("bsz"))
-    ok = sizes.where(F.col("bsz").between(2, block_cap))
-    in_block = banded.join(ok.select("band", "bhash"), ["band", "bhash"])
-    in_block = with_ngrams(in_block, "norm", "g")
-    in_block = in_block.withColumn(
-        "g", F.transform("g", lambda x: F.xxhash64(x)))
-    a, b = in_block.alias("a"), in_block.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
-                      (F.col("a.bhash") == F.col("b.bhash")) &
-                      (F.col("a.node") < F.col("b.node")))
-            .select(F.col("a.node").alias("src"),
-                    F.col("a.norm").alias("src_norm"),
-                    F.col("a.g").alias("g1"),
-                    F.col("b.node").alias("dst"),
-                    F.col("b.norm").alias("dst_norm"),
-                    F.col("b.g").alias("g2"))
+    Ids only by design: a pair that collides in k bands is emitted k
+    times, and the dedup shuffle moves 16-byte rows. Feature arrays
+    attach AFTER dedup via a join against the per-node feature table
+    (round 1 carried both gram arrays through this dropDuplicates —
+    an array-wide shuffle of every duplicate pair).
+
+    One shuffle, not three: blocks materialize as collect_list(node)
+    per bucket (size-capped in the same aggregate), and the src<dst
+    pair expansion happens IN-ARRAY with higher-order functions —
+    bounded by block_cap² per bucket. The round-1 shape (bucket-size
+    aggregate + semi-join + self-join) reached the same pairs through
+    three shuffles of the banded fan-out."""
+    pair_expr = (
+        "flatten(transform(ns, (x, i) -> "
+        "transform(slice(ns, i + 2, size(ns)), "
+        "y -> struct(least(x, y) AS src, greatest(x, y) AS dst))))")
+    blocks = (banded.groupBy("band", "bhash")
+              .agg(F.collect_list("node").alias("ns"))
+              .where(F.size("ns").between(2, block_cap)))
+    return (blocks.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select("p.src", "p.dst")
+            .where(F.col("src") != F.col("dst"))
             .dropDuplicates(["src", "dst"]))
 
 
-def verify_pairs(pairs: DataFrame,
+def verify_pairs(pairs: DataFrame, feats: DataFrame,
                  tau: float = spec.TAU_DUP) -> DataFrame:
-    """C2: exact char-3-gram Jaccard, JVM-side; keep sim ≥ τ → T6.
+    """C2: exact feature-set Jaccard, JVM-side; keep sim ≥ τ → T6.
 
-    Perf: grams are hashed to int64 before the set ops (integer
-    array_intersect is several × cheaper than string compare at
-    100k+ candidate pairs), and |A∪B| is derived as |A|+|B|−|A∩B|
-    so array_union never materializes. Pairs that already carry
-    g1/g2 (from candidate_pairs) skip the per-pair gram computation
-    entirely."""
-    df = pairs
-    if "g1" not in df.columns:
-        df = with_ngrams(df, "src_norm", "g1")
-        df = with_ngrams(df, "dst_norm", "g2")
-        for c in ("g1", "g2"):
-            df = df.withColumn(c, F.transform(c, lambda x: F.xxhash64(x)))
+    ``pairs``: deduped (src, dst) ids. ``feats``: the (node, f) table
+    from :func:`node_features` — n rows, joined twice (auto-broadcast
+    when small; a node-keyed shuffle join at cluster scale). Integer
+    ``array_intersect`` with |A∪B| = |A|+|B|−|A∩B| so array_union
+    never materializes."""
+    g1 = feats.select(F.col("node").alias("src"), F.col("f").alias("g1"))
+    g2 = feats.select(F.col("node").alias("dst"), F.col("f").alias("g2"))
+    df = pairs.join(g1, "src").join(g2, "dst")
     inter = F.size(F.array_intersect("g1", "g2")).cast("double")
     union = F.size("g1") + F.size("g2") - inter
     return (df.withColumn("sim", inter / union)
@@ -145,15 +209,18 @@ def verify_pairs(pairs: DataFrame,
 
 
 def near_duplicate_edges(norms: DataFrame,
-                         tau: float = spec.TAU_DUP) -> DataFrame:
-    """C1+C2 composed with persist discipline: the banded frame feeds
-    both the bucket-size filter and the pair join, and the minhash UDF
-    sits above it — without persistence the Python signature pass runs
-    three times. Returns (src, dst, sim) with src < dst."""
-    signed = minhash_signatures(norms)
-    banded = lsh_bands(signed).persist()
-    edges = verify_pairs(candidate_pairs(banded), tau=tau)
-    return edges
+                         tau: float = spec.TAU_DUP,
+                         feature: str = "char",
+                         shingle_w: int = spec.SHINGLE_W) -> DataFrame:
+    """C1+C2 composed with persist discipline: the feature table feeds
+    both the minhash UDF and the verify join, and the banded frame
+    feeds both the bucket-size filter and the pair join — without
+    persistence each would recompute. Returns (src, dst, sim) with
+    src < dst; node = xxhash64(norm)."""
+    feats = node_features(norms, feature=feature,
+                          shingle_w=shingle_w).persist()
+    banded = lsh_bands(minhash_signatures(feats)).persist()
+    return verify_pairs(candidate_pairs(banded), feats, tau=tau)
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
@@ -272,9 +339,10 @@ def canonicalize_norms(norms: DataFrame, dict_df: DataFrame) -> DataFrame:
     (lexicographically-first linked member), else the cluster's
     lexicographically-first norm.
     """
-    signed = minhash_signatures(norms).persist()
+    feats = node_features(norms).persist()
+    signed = minhash_signatures(feats).persist()
     banded = lsh_bands(signed).persist()
-    edges = verify_pairs(candidate_pairs(banded))
+    edges = verify_pairs(candidate_pairs(banded), feats)
     comps = connected_components(signed.select("node"), edges)
 
     labeled = (signed.select("norm", "node")

@@ -130,9 +130,10 @@ def test_lsh_blocks_variant_pairs(spark):
     norms = spark.createDataFrame(
         [("acme corp",), ("the acme corp",), ("dataquill",),
          ("dataquill io",), ("granite labs",)], "norm string")
-    signed = canon.minhash_signatures(norms)
+    feats = canon.node_features(norms)
+    signed = canon.minhash_signatures(feats)
     edges = canon.verify_pairs(
-        canon.candidate_pairs(canon.lsh_bands(signed)), tau=0.5)
+        canon.candidate_pairs(canon.lsh_bands(signed)), feats, tau=0.5)
     norm_of = {r["node"]: r["norm"]
                for r in signed.select("node", "norm").collect()}
     pairs = {tuple(sorted((norm_of[r["src"]], norm_of[r["dst"]])))
@@ -166,3 +167,55 @@ def test_minhash_deterministic(spark):
     b = {r["norm"]: r["sig"] for r in canon.minhash_signatures(norms).collect()}
     assert a == b
     assert all(len(s) == 128 for s in a.values())
+
+
+def test_near_duplicate_edges_matches_bruteforce(spark):
+    """The WHOLE dedup path (word-shingle features → minhash → LSH
+    banding → id-dedup → verify join) against an exact all-pairs
+    DuckDB oracle at sf0.001: the planted document near-dups sit at
+    shingle-Jaccard ≥ 0.9, where the b=32/r=4 banding miss probability
+    is ~1e-15, so the edge SET must match exactly — recall 1.0 and
+    precision 1.0, not just ≥0.95 (VERDICT r1 item 4)."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet") \
+        .select((canon.F.lower("text")).alias("norm"))
+    edges = canon.near_duplicate_edges(docs, tau=0.5, feature="word")
+    feats = canon.node_features(docs, feature="word")
+    norm_of = {r["node"]: r["norm"]
+               for r in feats.select("node", "norm").collect()}
+    got = {tuple(sorted((norm_of[r["src"]], norm_of[r["dst"]])))
+           for r in edges.collect()}
+
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    exact = con.execute("""
+        WITH t AS (SELECT DISTINCT lower(text) AS norm FROM documents),
+        w AS (SELECT norm, string_split(norm, ' ') AS toks FROM t),
+        s AS (SELECT norm, list_distinct(
+                  [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS ws
+              FROM w)
+        SELECT a.norm, b.norm FROM s a JOIN s b ON a.norm < b.norm
+        WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+              >= 0.5
+    """).fetchall()
+    want = {tuple(sorted(p)) for p in exact}
+    assert want, "oracle produced no near-dup pairs — test is vacuous"
+    assert got == want
+
+
+def test_candidate_pairs_stay_linear_on_natural_text(spark):
+    """Regression for the round-1 scale-killer: on a natural-text
+    corpus the LSH candidate-pair count must stay O(n·k), not O(n²).
+    500 docs → 124,750 possible pairs; require < 8·n candidates."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet") \
+        .select((canon.F.lower("text")).alias("norm"))
+    feats = canon.node_features(docs, feature="word").persist()
+    banded = canon.lsh_bands(canon.minhash_signatures(feats))
+    n = feats.count()
+    n_pairs = canon.candidate_pairs(banded).count()
+    assert n_pairs < 8 * n, (n_pairs, n)
