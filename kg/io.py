@@ -48,10 +48,16 @@ def write_table(df: DataFrame, identifier: str, mode: str = "overwrite",
 
 
 def atomic_write_json(path: str, payload: dict) -> None:
-    """POSIX-atomic manifest commit: write temp + fsync + rename."""
+    """POSIX-atomic manifest commit: write temp + fsync + rename.
+
+    The temp name starts with '.' so a kill between mkstemp and rename
+    leaves a file Spark's parquet reader IGNORES — a bare 'tmpXXXX'
+    in a stage directory would be picked up as a (corrupt) data file
+    on resume."""
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    fd, tmp = tempfile.mkstemp(dir=d, prefix="._" + os.path.basename(path)
+                               + ".", suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)

@@ -209,8 +209,22 @@ def backward(p, cache, probs, labels):
 _TABLE_CACHE: dict[int, dict] = {}
 
 
+def _params_key(p: dict[str, np.ndarray]) -> int:
+    """Content checksum over every weight array. id(p) is unsound as
+    a cache key: once the previous params dict is GC'd, a new dict can
+    land on the same id and would read the stale tables. ~100 µs per
+    call — called once per predict batch."""
+    import zlib
+
+    k = 0
+    for name in sorted(p):
+        k = zlib.crc32(p[name].tobytes(), zlib.crc32(name.encode(), k))
+    return k
+
+
 def infer_tables(p: dict[str, np.ndarray]) -> dict:
-    cached = _TABLE_CACHE.get(id(p))
+    key = _params_key(p)
+    cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
     w, D, P = spec.CONV_WINDOW, spec.EMB_DIM, spec.POS_DIM
@@ -228,7 +242,7 @@ def infer_tables(p: dict[str, np.ndarray]) -> dict:
         "b_conv": p["b_conv"], "W_out": p["W_out"], "b_out": p["b_out"],
     }
     _TABLE_CACHE.clear()
-    _TABLE_CACHE[id(p)] = t
+    _TABLE_CACHE[key] = t
     return t
 
 

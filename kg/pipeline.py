@@ -56,17 +56,30 @@ def resolve_entities(scored: DataFrame, dict_df: DataFrame,
                             F.coalesce("head_entity", "head_norm"))
                 .withColumn("tail_entity",
                             F.coalesce("tail_entity", "tail_norm")))
-    missed = (linked.where(F.col("head_entity").isNull())
-              .select(F.col("head_norm").alias("norm"))
-              .union(linked.where(F.col("tail_entity").isNull())
-                     .select(F.col("tail_norm").alias("norm")))
-              .distinct())
+    # single scan for BOTH miss sides: explode the two nullable slots
+    # and keep the null ones (round 1 ran two where-scans + union)
+    missed = (linked.select(F.explode(F.array(
+                  F.when(F.col("head_entity").isNull(), F.col("head_norm")),
+                  F.when(F.col("tail_entity").isNull(), F.col("tail_norm"))))
+              .alias("norm"))
+              .where(F.col("norm").isNotNull())
+              .distinct()
+              .localCheckpoint(eager=True))
     if missed.isEmpty():
         # common fast path: every mention linked exactly — skip the
         # whole minhash/CC side plan (it would still cost a dozen
         # empty jobs in the iterative loop)
         return linked
-    mapping = canon.canonicalize_norms(missed, dict_df)
+    # The cluster graph must CONTAIN the dictionary norms, or a typo
+    # variant can never share a component with a linked member and
+    # C4's "cluster inherits the canonical of its linked member" is
+    # dead code — every miss would fall back to its cluster-min norm.
+    # The dictionary is a few hundred rows: unioning it into the node
+    # set costs nothing; its own mappings are dropped afterwards
+    # (dict norms are already resolved in `linked`).
+    nodes = missed.union(dict_df.select("norm")).distinct()
+    mapping = (canon.canonicalize_norms(nodes, dict_df)
+               .join(missed, "norm", "left_semi"))
     # the dictionary-miss tail is small by construction → broadcast
     h = F.broadcast(mapping.select(F.col("norm").alias("head_norm"),
                                    F.col("entity").alias("_h_ent")))
@@ -91,7 +104,8 @@ def extract_and_score(spark: SparkSession, transcripts: DataFrame,
 
 def run(spark: SparkSession, transcripts: DataFrame,
         weights_bc=None, checkpoint_root: str | None = None,
-        n_buckets: int = 16) -> dict[str, DataFrame]:
+        n_buckets: int = 16,
+        snapshot_id: str | None = None) -> dict[str, DataFrame]:
     """The full pipeline. Returns {'triples': T8, 'adjacency': T9,
     'scored': T4-narrow, 'observations': {stage: Observation}} — the
     observations fill for free when the caller's first action runs
@@ -105,7 +119,7 @@ def run(spark: SparkSession, transcripts: DataFrame,
         return extract_and_score(spark, df, weights_bc)
 
     if checkpoint_root:
-        snap = snapshot_id_of(transcripts)
+        snap = snapshot_id or snapshot_id_of(transcripts)
         scored_df = checkpoint.run_checkpointed(
             spark, checkpoint_root, "scored", snap, transcripts,
             _extract_fn, bucket_key="conv_id", n_buckets=n_buckets)
@@ -142,12 +156,27 @@ def run(spark: SparkSession, transcripts: DataFrame,
 _RUN_SEQ = 0
 
 
+#: bump when a checkpointed stage's semantics change — old manifests
+#: must not satisfy a resume of the new code
+STAGE_VERSION = "v2"
+
+
 def snapshot_id_of(df: DataFrame) -> str:
-    """Deterministic input snapshot id: hash of the input file list
-    (the Parquet stand-in for an Iceberg snapshot id)."""
+    """Deterministic input snapshot id: hash of (stage version, input
+    file list) — the Parquet stand-in for an Iceberg snapshot id.
+
+    Raises for in-memory inputs (no files): two different local frames
+    with the same schema would otherwise share an id and a resume
+    would silently serve stale buckets. Callers with non-file inputs
+    must pass an explicit ``snapshot_id`` to :func:`run`."""
     try:
         files = sorted(df.inputFiles())
     except Exception:
         files = []
-    basis = "|".join(files) or df.schema.simpleString()
+    if not files:
+        raise ValueError(
+            "input has no files to derive a snapshot id from; pass an "
+            "explicit snapshot_id to checkpointed runs of in-memory "
+            "inputs")
+    basis = STAGE_VERSION + "|" + "|".join(files)
     return hashlib.sha256(basis.encode()).hexdigest()[:16]

@@ -88,12 +88,21 @@ class StageCheckpoint:
                 self._commit_batch(bucketed, fn, batch, manifest,
                                    bucket_key)
         # underscore-prefixed files (the manifest) are invisible to the
-        # parquet reader, and uncommitted partials were GC'd above
-        try:
+        # parquet reader, and uncommitted partials were GC'd above.
+        # The zero-rows case is detected EXPLICITLY (no bucket dirs) —
+        # a catch-all here would silently turn a genuine read error
+        # (corrupt file, permissions) into an empty "success".
+        if self._bucket_dirs():
             return spark.read.parquet(self.dir).drop("_bucket")
-        except Exception:
-            # every bucket produced zero rows → no files were written
-            return fn(input_df.where(F.lit(False)))
+        return fn(input_df.where(F.lit(False)))
+
+    def _bucket_dirs(self, only: list[int] | None = None) -> list[str]:
+        if not os.path.isdir(self.dir):
+            return []
+        names = {f"_bucket={b}" for b in only} if only is not None else None
+        return sorted(
+            os.path.join(self.dir, n) for n in os.listdir(self.dir)
+            if n.startswith("_bucket=") and (names is None or n in names))
 
     def _commit_batch(self, bucketed: DataFrame, fn, batch: list[int],
                       manifest: dict, bucket_key: str) -> None:
@@ -103,13 +112,24 @@ class StageCheckpoint:
         out = fn(part.drop("_bucket"))
         out = out.withColumn("_bucket", bucket_of(bucket_key, self.n_buckets))
         (out.write.mode("append").partitionBy("_bucket").parquet(self.dir))
-        # decimal accumulator: order-insensitive and overflow-proof
-        # under ANSI mode (Spark 4 default)
-        stats = (out.groupBy("_bucket").agg(
-            F.count("*").alias("rows"),
-            F.sum(F.xxhash64(*[c for c in out.columns if c != "_bucket"])
-                  .cast("decimal(38,0)")).alias("checksum")).collect())
-        by_bucket = {int(r["_bucket"]): r for r in stats}
+        # Stats come from the files ACTUALLY WRITTEN, not from
+        # re-executing the stage plan: a second execution doubles the
+        # dominant scoring-UDF cost, and under a nondeterministic fn
+        # the manifest would describe different rows than the commit.
+        by_bucket: dict[int, dict] = {}
+        written = self._bucket_dirs(only=batch)
+        if written:
+            spark = bucketed.sparkSession
+            committed = spark.read.option("basePath", self.dir) \
+                .parquet(*written)
+            data_cols = [c for c in committed.columns if c != "_bucket"]
+            # decimal accumulator: order-insensitive and overflow-proof
+            # under ANSI mode (Spark 4 default)
+            stats = (committed.groupBy("_bucket").agg(
+                F.count("*").alias("rows"),
+                F.sum(F.xxhash64(*data_cols).cast("decimal(38,0)"))
+                 .alias("checksum")).collect())
+            by_bucket = {int(r["_bucket"]): r for r in stats}
         now = datetime.now(timezone.utc).isoformat()
         for b in batch:
             r = by_bucket.get(b)

@@ -31,12 +31,21 @@ _WORKER_PARAMS: dict[int, dict] = {}
 
 
 def _unpack_once(bc) -> dict:
-    """Unpack broadcast weights once per Python worker process."""
-    p = _WORKER_PARAMS.get(id(bc))
+    """Unpack broadcast weights once per Python worker process.
+
+    Keyed on a CONTENT checksum of the broadcast bytes, not id(bc):
+    in a reused worker a new broadcast can be allocated at the id of
+    a GC'd one and would silently receive the stale weights. crc32 of
+    the npz bytes is ~100 µs per Arrow batch — noise next to the
+    batch matmul."""
+    import zlib
+
+    key = zlib.crc32(bc.value)
+    p = _WORKER_PARAMS.get(key)
     if p is None:
         p = model.params_from_bytes(bc.value)
         _WORKER_PARAMS.clear()
-        _WORKER_PARAMS[id(bc)] = p
+        _WORKER_PARAMS[key] = p
     return p
 
 

@@ -160,6 +160,42 @@ def test_canonicalize_norms_end_to_end(spark):
         == "zzzz wobbleplex"
 
 
+def test_resolve_entities_typo_inherits_dict_entity(spark):
+    """ADVICE r1: a dictionary-MISS typo variant must inherit the
+    canonical entity of its dictionary-linked cluster-mate through
+    connected components — which requires the dict norms to be part of
+    the CC node set (they are not themselves misses)."""
+    from kg import pipeline, schemas
+    from pyspark.sql import types as T
+
+    fields = [f for f in schemas.SCORED.fields if f.name != "token_ids"]
+    schema = T.StructType(fields + [
+        T.StructField("head_entity", T.StringType()),
+        T.StructField("tail_entity", T.StringType())])
+    row = {f.name: None for f in schema.fields}
+    row.update(conv_id="c0", turn_idx=0,
+               head_surface="Acme Corpp", head_norm="acme corpp",
+               head_mtype="org", head_pos=0,
+               tail_surface="Dataquill", tail_norm="dataquill",
+               tail_mtype="tool", tail_pos=3,
+               rel="located_in", score=0.9,
+               head_entity=None, tail_entity="Dataquill")
+    scored = spark.createDataFrame(
+        [tuple(row[f.name] for f in schema.fields)], schema)
+    out = pipeline.resolve_entities(scored, dictionary_df(spark)).collect()
+    assert out[0]["head_entity"] == "Acme Corp"   # via CC, not cluster-min
+    assert out[0]["tail_entity"] == "Dataquill"
+
+
+def test_snapshot_id_requires_files(spark):
+    from kg import pipeline
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1,)], "x int")
+    with _pt.raises(ValueError):
+        pipeline.snapshot_id_of(df)
+
+
 def test_minhash_deterministic(spark):
     norms = spark.createDataFrame([("acme corp",), ("dataquill",)],
                                   "norm string")
