@@ -862,6 +862,25 @@ def ann_lsh_topk(spark, sf):
             .orderBy(F.desc("dot"), F.asc("vec_id")).limit(10))
 
 
+@q("ann_bucket_join", None)
+def ann_bucket_join(spark, sf):
+    """Many-to-many ANN (kg.stages.ann): every vector is both query
+    and candidate; hyperplane-LSH buckets self-join per hash table,
+    id-pair dedup, exact cosine re-rank in-candidate-set, top-3 per
+    query. Recall is pinned by test_ann.py on a clustered table (this
+    embeddings fixture is near-random — top-1 cosine ≈0.37 — so no
+    LSH family has meaningful recall on it; here it exercises the
+    distributed plumbing)."""
+    from kg.stages import ann
+
+    e = _t(spark, sf, "embeddings")
+    top = ann.ann_topk_self_join(e, dim=64, k=3, n_planes=6,
+                                 n_tables=4, seed=7)
+    return (top.where("q < 50")
+            .select("q", "c", F.round("cos", 4).alias("cos"), "rnk")
+            .orderBy("q", "rnk"))
+
+
 @q("kg_bag_attention", None)
 def kg_bag_attention(spark, sf):
     """B4 bag-level option: selective attention over instances sharing

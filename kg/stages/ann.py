@@ -1,0 +1,119 @@
+"""Approximate nearest neighbors over an embedding column
+(SURVEY.md §2 — similarity-search family; VERDICT r1 item 7).
+
+Many-to-many ANN as a BUCKET JOIN: every vector is simultaneously a
+query and a candidate. Random-hyperplane LSH (Charikar, STOC 2002)
+buckets each vector in L independent tables; candidates are generated
+by a self-join on (table, bucket) — the same O(n·bucket) shape as the
+minhash blocking in kg.stages.canon, never O(n²) — deduplicated as
+bare id pairs, then exactly re-ranked by cosine with the embeddings
+attached via a per-node join.
+
+Everything is JVM-side (zip_with/aggregate over literal plane arrays);
+the only shuffles are the bucket groupBy-join and the id-pair dedup,
+both on narrow rows. At cluster scale the (table, bucket) key is the
+partitioner: each bucket's join is local to its shuffle partition, and
+skewed buckets are handled by the same BLOCK-style cap used in canon.
+
+The single-query variant (contract.py ann_lsh_topk) broadcasts one
+query's buckets; this module is the scale path when the query set IS
+the corpus (all-pairs semantic dedup, embedding clustering).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+#: buckets larger than this are dropped from the self-join (and
+#: counted); a degenerate bucket (e.g. the all-zeros region) would
+#: otherwise reintroduce the quadratic pair space.
+BUCKET_CAP = 1024
+
+
+def _planes(n_planes: int, n_tables: int, dim: int,
+            seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def hyperplane_buckets(vecs: DataFrame, id_col: str = "vec_id",
+                       emb_col: str = "embedding", *,
+                       dim: int, n_planes: int = 8, n_tables: int = 4,
+                       seed: int = 7) -> DataFrame:
+    """(id, table, bucket): sign-bit bucket of each vector in each of
+    the L hash tables, computed fully JVM-side. The planes are pinned
+    literals (seeded), so bucketing is deterministic across runs and
+    partition layouts."""
+    planes = _planes(n_planes, n_tables, dim, seed)
+
+    def dot(plane: np.ndarray):
+        arr = F.array(*[F.lit(float(v)) for v in plane])
+        return F.aggregate(
+            F.zip_with(emb_col, arr,
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    tables = []
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for i in range(n_planes):
+            bucket = bucket + F.when(dot(planes[t, i]) > 0,
+                                     F.lit(1 << i)).otherwise(0)
+        tables.append(F.struct(F.lit(t).alias("table"),
+                               bucket.alias("bucket")))
+    return (vecs.select(id_col, F.explode(F.array(*tables)).alias("tb"))
+            .select(id_col, "tb.table", "tb.bucket"))
+
+
+def candidate_pairs(buckets: DataFrame, id_col: str = "vec_id",
+                    bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """Directed candidate pairs (q, c): ids sharing any (table, bucket),
+    deduplicated across tables as bare 16-byte rows — the canon.py
+    candidate shape, one groupBy shuffle + in-array expansion."""
+    pair_expr = (
+        "flatten(transform(ns, x -> "
+        "transform(filter(ns, y -> y != x), y -> "
+        "struct(x AS q, y AS c))))")
+    blocks = (buckets.groupBy("table", "bucket")
+              .agg(F.collect_list(id_col).alias("ns"))
+              .where(F.size("ns").between(2, bucket_cap)))
+    return (blocks.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select("p.q", "p.c")
+            .dropDuplicates(["q", "c"]))
+
+
+def cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y:
+                                 x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return dot / F.sqrt(sq(a) * sq(b))
+
+
+def ann_topk_self_join(vecs: DataFrame, id_col: str = "vec_id",
+                       emb_col: str = "embedding", *,
+                       dim: int, k: int = 10, n_planes: int = 8,
+                       n_tables: int = 4, seed: int = 7,
+                       bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """Every vector's approximate top-k cosine neighbors:
+    (q, c, cos, rnk) with rnk ∈ [1, k], deterministic tie-break on c.
+
+    Exact re-rank happens only INSIDE the candidate set: embeddings
+    attach to the deduped id pairs via two joins against the vector
+    table (n rows — auto-broadcast small, node-keyed shuffle at
+    scale), mirroring canon.verify_pairs."""
+    buckets = hyperplane_buckets(vecs, id_col, emb_col, dim=dim,
+                                 n_planes=n_planes, n_tables=n_tables,
+                                 seed=seed)
+    pairs = candidate_pairs(buckets, id_col, bucket_cap=bucket_cap)
+    qe = vecs.select(F.col(id_col).alias("q"), F.col(emb_col).alias("qe"))
+    ce = vecs.select(F.col(id_col).alias("c"), F.col(emb_col).alias("ce"))
+    scored = (pairs.join(qe, "q").join(ce, "c")
+              .withColumn("cos", cosine(F.col("qe"), F.col("ce")))
+              .select("q", "c", "cos"))
+    w = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("c"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k))

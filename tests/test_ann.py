@@ -1,0 +1,84 @@
+"""Many-to-many ANN bucket join (kg.stages.ann) vs brute-force cosine.
+
+Recall is measured on a DETERMINISTIC clustered table (20 centers ×
+25 members, 64-dim, tight clusters): hyperplane LSH only has signal
+when neighbors are actually angular-close — the driver's embeddings
+fixture is near-random (top-1 cosine ≈0.37), where no LSH family
+separates neighbors from noise. The plumbing (bucket self-join, pair
+dedup, re-rank, top-k window) is the same either way and is what the
+contract entry exercises on the fixture.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kg.stages import ann
+
+N_CENTERS, PER, DIM, K = 20, 25, 64, 10
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((N_CENTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # noise ‖ε‖ ≈ 0.03·√64 = 0.24 against unit centers → within-cluster
+    # cosine ≈ 0.94 (θ ≈ 0.33 rad) — angular-close enough for LSH
+    pts = (np.repeat(centers, PER, axis=0)
+           + 0.03 * rng.standard_normal((N_CENTERS * PER, DIM)))
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, pts.astype(np.float32)
+
+
+def _true_topk(pts: np.ndarray, k: int) -> np.ndarray:
+    v = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    s = v @ v.T
+    np.fill_diagonal(s, -2.0)
+    return np.argsort(-s, axis=1)[:, :k]
+
+
+def test_ann_recall_vs_bruteforce(spark, clustered):
+    df, pts = clustered
+    top = ann.ann_topk_self_join(df, dim=DIM, k=K, n_planes=8,
+                                 n_tables=4, seed=7)
+    got: dict[int, set[int]] = {}
+    for r in top.collect():
+        got.setdefault(r["q"], set()).add(r["c"])
+    want = _true_topk(pts.astype(np.float64), K)
+    recalls = [len(got.get(q, set()) & set(want[q])) / K
+               for q in range(len(pts))]
+    mean_recall = float(np.mean(recalls))
+    # θ(top-10 neighbor) ≈ 0.33 rad ⇒ per-table collision ≈ 0.89^8,
+    # union over 4 tables ≈ 0.88; measured 0.91 with this pinned seed
+    assert mean_recall >= 0.85, mean_recall
+
+
+def test_ann_is_exact_within_candidates(spark, clustered):
+    """Every reported neighbor's cosine must equal the exact cosine
+    (re-rank is exact; only candidate GENERATION is approximate), and
+    ranks must be contiguous from 1 with the pinned tie-break."""
+    df, pts = clustered
+    top = ann.ann_topk_self_join(df, dim=DIM, k=3, n_planes=8,
+                                 n_tables=2, seed=7).collect()
+    v = pts.astype(np.float64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    by_q: dict[int, list] = {}
+    for r in top:
+        assert abs(r["cos"] - float(v[r["q"]] @ v[r["c"]])) < 1e-6
+        by_q.setdefault(r["q"], []).append((r["rnk"], -r["cos"], r["c"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_bucket_cap_drops_degenerate_buckets(spark):
+    """All-identical vectors land in one bucket per table; a cap of 8
+    must drop the 50-member bucket rather than emit 50·49 pairs."""
+    rows = [(i, [1.0] * 8) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = ann.hyperplane_buckets(df, dim=8, n_planes=4, n_tables=2, seed=3)
+    assert ann.candidate_pairs(b, bucket_cap=8).count() == 0
+    assert ann.candidate_pairs(b, bucket_cap=64).count() == 50 * 49
