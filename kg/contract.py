@@ -268,6 +268,40 @@ def posexplode_tokens(spark, sf):
             .where(F.col("pos") < 5))
 
 
+@q("udtf_tokenize", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE doc_id < 20)
+SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, toks[u.i] AS word
+FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) u
+WHERE u.i <= 5
+""")
+def udtf_tokenize(spark, sf):
+    """F: Python UDTF (Spark 4 @udtf) as a LATERAL table function —
+    one (pos, word) row per token. Row-at-a-time Python by design of
+    the UDTF surface: coverage entry, NOT a hot-path pattern — the
+    pipeline's tokenizer runs inside Arrow-batched mapInPandas and
+    the JVM regexp path covers the SQL-expressible core
+    (tokenize_regex / posexplode_tokens)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text:
+                for i, w in enumerate(text.split(" ")):
+                    if i >= 5:
+                        break
+                    yield i, w
+
+    spark.udtf.register("kg_tokenize_udtf", Tokenize)
+    _t(spark, sf, "documents").createOrReplaceTempView("documents_udtf")
+    return spark.sql("""
+        SELECT d.doc_id, u.pos, u.word
+        FROM documents_udtf d, LATERAL kg_tokenize_udtf(d.text) u
+        WHERE d.doc_id < 20
+    """)
+
+
 @q("cube_agg", """
 SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
 FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))
@@ -753,6 +787,21 @@ def kg_score_relations(spark, sf):
     from kg import pipeline as pl
 
     scored = pl.extract_and_score(spark, _fixture_t0(spark))
+    return (scored.groupBy("rel")
+            .agg(F.count("*").alias("n_instances"),
+                 F.round(F.avg("score"), 3).alias("avg_score")))
+
+
+@q("kg_score_relations_attn", None)
+def kg_score_relations_attn(spark, sf):
+    """B4 alternative encoder: the BERT-style self-attention scorer
+    (kg/model_attn.py, val acc 1.0 on the pinned split) behind the
+    SAME fused extraction UDF — only the broadcast weights differ."""
+    from kg import pipeline as pl
+    from kg.stages import score
+
+    bc = score.broadcast_weights(spark, encoder="attn")
+    scored = pl.extract_and_score(spark, _fixture_t0(spark), weights_bc=bc)
     return (scored.groupBy("rel")
             .agg(F.count("*").alias("n_instances"),
                  F.round(F.avg("score"), 3).alias("avg_score")))

@@ -331,18 +331,47 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
                     .alias("component")))
 
 
-def canonicalize_norms(norms: DataFrame, dict_df: DataFrame) -> DataFrame:
+#: node count under which C3+C4 run on the driver. The iterative CC
+#: loop costs O(rounds) driver-scheduled jobs on kilobytes of data —
+#: pure fixed cost that caps strong scaling (Amdahl); a union-find
+#: over ≤100k collected ids is milliseconds. Above the threshold the
+#: distributed hash-to-min path runs — identical output (tested).
+DRIVER_CANON_MAX_NODES = 100_000
+
+
+def canonicalize_norms(norms: DataFrame, dict_df: DataFrame,
+                       driver_max_nodes: int = DRIVER_CANON_MAX_NODES
+                       ) -> DataFrame:
     """C1→C4 end-to-end over a distinct ``norm`` column.
 
     Returns (norm, entity): every norm mapped to its canonical entity
     name — its own dictionary hit first, else its cluster's canonical
     (lexicographically-first linked member), else the cluster's
     lexicographically-first norm.
+
+    C1/C2 (minhash, banding, verify) are always distributed — they
+    scale with the data. C3/C4 (components + naming) run on the
+    driver when the node set is small (see DRIVER_CANON_MAX_NODES),
+    else through the distributed join/aggregate path below.
     """
     feats = node_features(norms).persist()
     signed = minhash_signatures(feats).persist()
     banded = lsh_bands(signed).persist()
     edges = verify_pairs(candidate_pairs(banded), feats)
+
+    if driver_max_nodes > 0:
+        probe = (signed.select("norm", "node")
+                 .limit(driver_max_nodes + 1).collect())
+        if len(probe) <= driver_max_nodes:
+            spark = norms.sparkSession
+            edge_rows = edges.select("src", "dst").collect()
+            dict_rows = dict_df.select("norm", "entity").collect()
+            mapping = _name_clusters_driver(
+                [(r["norm"], r["node"]) for r in probe],
+                [(r["src"], r["dst"]) for r in edge_rows],
+                {r["norm"]: r["entity"] for r in dict_rows})
+            return spark.createDataFrame(mapping, "norm string, entity string")
+
     comps = connected_components(signed.select("node"), edges)
 
     labeled = (signed.select("norm", "node")
@@ -363,3 +392,39 @@ def canonicalize_norms(norms: DataFrame, dict_df: DataFrame) -> DataFrame:
             .withColumn("entity",
                         F.coalesce("entity", "_cluster_entity", "_any_norm"))
             .select("norm", "entity"))
+
+
+def _name_clusters_driver(nodes: list[tuple[str, int]],
+                          edges: list[tuple[int, int]],
+                          dictionary: dict[str, str]) -> list[tuple]:
+    """Driver-side C3+C4: union-find over the collected edge set, then
+    the same naming rule as the distributed branch — own dict hit
+    first, else the dict entity of the cluster's lexicographically-
+    first LINKED norm, else the cluster's lexicographically-first
+    norm. Output order is pinned for determinism."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+
+    by_comp: dict[int, list[str]] = {}
+    for norm, node in nodes:
+        by_comp.setdefault(find(node), []).append(norm)
+    out = []
+    for comp, members in by_comp.items():
+        linked = sorted(m for m in members if m in dictionary)
+        fallback = dictionary[linked[0]] if linked else min(members)
+        for m in members:
+            out.append((m, dictionary.get(m, fallback)))
+    out.sort()
+    return out

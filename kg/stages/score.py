@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from kg import model, schemas, spec
+from kg import model, model_attn, schemas, spec
 
 #: relation → required (head_mtype, tail_mtype); typed precision filter
 TYPE_SIG = {rel: (st, ot) for rel, (st, ot, _) in spec.TEMPLATES.items()
@@ -49,6 +49,16 @@ def _unpack_once(bc) -> dict:
     return p
 
 
+def _predict(p, token_ids, heads, tails):
+    """Encoder dispatch: the broadcast params decide whether the PCNN
+    (lookup-table fast path) or the BERT-style self-attention encoder
+    (kg/model_attn.py) scores the batch — same (labels, probs)
+    contract, so the whole UDF/pipeline plumbing is shared."""
+    if model_attn.is_attn_params(p):
+        return model_attn.predict(p, token_ids, heads, tails)
+    return model.predict(p, token_ids, heads, tails)
+
+
 def score_instances(
     instances: DataFrame,
     weights_bc,
@@ -69,7 +79,7 @@ def score_instances(
                                  score=pd.Series(dtype="float32"))
                 continue
             ids = [list(x) for x in pdf["token_ids"]]
-            lab, prob = model.predict(
+            lab, prob = _predict(
                 p, ids, pdf["head_pos"].to_numpy(),
                 pdf["tail_pos"].to_numpy())
             out = pdf.copy()
@@ -142,7 +152,7 @@ def extract_and_score_fused(
             if not rows:
                 yield pd.DataFrame(columns=out_cols)
                 continue
-            lab, prob = model.predict(
+            lab, prob = _predict(
                 p, [r[2]["token_ids"] for r in rows],
                 [r[2]["head_pos"] for r in rows],
                 [r[2]["tail_pos"] for r in rows])
@@ -170,8 +180,15 @@ def extract_and_score_fused(
          (F.col("tail_mtype") == sig[F.col("rel")][1])))
 
 
-def broadcast_weights(spark, params: dict | None = None):
-    """Broadcast the frozen model once per job (npz-compressed bytes)."""
+def broadcast_weights(spark, params: dict | None = None,
+                      encoder: str = "pcnn"):
+    """Broadcast the frozen model once per job (npz-compressed bytes).
+
+    ``encoder``: 'pcnn' (default — lookup-table fast path) or 'attn'
+    (the BERT-style self-attention encoder, kg/model_attn.py); the
+    scoring UDF dispatches on the params content, nothing else in the
+    pipeline changes."""
     if params is None:
-        params = model.load_default_params()
+        params = (model_attn.load_default_params() if encoder == "attn"
+                  else model.load_default_params())
     return spark.sparkContext.broadcast(model.params_to_bytes(params))

@@ -160,6 +160,22 @@ def test_canonicalize_norms_end_to_end(spark):
         == "zzzz wobbleplex"
 
 
+def test_canonicalize_driver_path_equals_distributed(spark):
+    """The driver-side C3+C4 fast path (small node sets) must be
+    byte-identical to the distributed join/aggregate branch."""
+    norms = spark.createDataFrame(
+        [("acme corp",), ("acme corpp",), ("the acme corp",),
+         ("dataquill",), ("dataquill io",), ("zzzz wobbleplex",),
+         ("zzzz wobbleplexx",), ("granite labs",)], "norm string")
+    d = dictionary_df(spark)
+    fast = {(r["norm"], r["entity"])
+            for r in canon.canonicalize_norms(norms, d).collect()}
+    dist = {(r["norm"], r["entity"])
+            for r in canon.canonicalize_norms(
+                norms, d, driver_max_nodes=0).collect()}
+    assert fast == dist and len(fast) == 8
+
+
 def test_resolve_entities_typo_inherits_dict_entity(spark):
     """ADVICE r1: a dictionary-MISS typo variant must inherit the
     canonical entity of its dictionary-linked cluster-mate through
