@@ -150,6 +150,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
     # --- representative relational operators at sf ------------------
     for name in ("agg_basic", "join_inner", "window_rank",
                  "join_range_window", "topk", "knn_cosine_bruteforce",
+                 "ann_bucket_join", "udaf_confidence_merge",
                  "two_phase_salted_agg", "ngram_jaccard_pairs",
                  "minhash_lsh_dedup", "text_quality_score"):
         fn, _ = contract.Q[name]
@@ -181,8 +182,12 @@ def main() -> None:
         return
 
     if args.scaling:
+        # 2→8 default: ≥16 concurrent task threads hit this time-shared
+        # host's shared disk/membw ceiling (measured: local[4] and
+        # local[16] identical wall-clock on a 6.5M-turn corpus), so
+        # larger pairs measure the box, not the engine — see BENCH.md
         levels = tuple(int(x) for x in os.environ.get(
-            "KG_SCALING_LEVELS", "4,16").split(","))
+            "KG_SCALING_LEVELS", "2,8").split(","))
         env = {**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
                # 10× corpus: compute must dominate fixed costs
                # (JVM + worker-pool spin-up) for an honest measurement

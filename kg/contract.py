@@ -708,17 +708,22 @@ def knn_cosine_bruteforce(spark, sf):
 SELECT l_orderkey,
        CAST(floor((1 - product(1 - l_discount)) * 10000 + 0.5) AS BIGINT)
            AS conf_e4
-FROM lineitem GROUP BY l_orderkey
+FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey
 """)
 def udaf_confidence_merge(spark, sf):
     """F: grouped-agg pandas UDAF — the D2 noisy-or confidence merge
     (kg.stages.triples.noisy_or) applied to a SQL-checkable proxy:
     per-order noisy-or of lineitem discounts (DuckDB product()).
     Fixed-point via floor(x·1e4 + 0.5): identical IEEE ops on both
-    engines, immune to round()'s engine-specific decimal semantics."""
+    engines, immune to round()'s engine-specific decimal semantics.
+    The orderkey filter bounds the GROUP COUNT, which is the cost
+    driver of any grouped-agg Python UDAF (one Arrow slice per group)
+    — grouped-agg pandas UDFs are a coverage surface, not a hot path;
+    the pipeline's default D2 merge is the JVM-side max aggregate."""
     from kg.stages.triples import noisy_or_udaf
 
-    return (_t(spark, sf, "lineitem").groupBy("l_orderkey")
+    return (_t(spark, sf, "lineitem").where("l_orderkey < 2000")
+            .groupBy("l_orderkey")
             .agg(F.floor(noisy_or_udaf()("l_discount") * 10000 + 0.5)
                   .alias("conf_e4")))
 
