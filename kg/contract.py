@@ -959,6 +959,21 @@ def kg_cross_turn_pairs(spark, sf):
             .agg(F.count("*").alias("n_pairs")))
 
 
+@q("kg_pipeline_cross_turn", None)
+def kg_pipeline_cross_turn(spark, sf):
+    """E2E pipeline WITH the ±1-turn window enabled (B3 cross-turn
+    wired through pipeline.run): triples from intra-turn AND
+    adjacent-turn instances, deduped together."""
+    from kg import pipeline
+
+    t8 = pipeline.run(spark, _fixture_t0(spark),
+                      cross_turn_k=1)["triples"]
+    return (t8.select("subj", "pred", "obj",
+                      F.round("confidence", 4).alias("confidence"),
+                      "n_support")
+            .orderBy("subj", "pred", "obj"))
+
+
 @q("multimodal_stub_features", None)
 def multimodal_stub_features(spark, sf):
     """Multimodal plumbing: documents' text bytes stand in for an

@@ -95,17 +95,33 @@ def resolve_entities(scored: DataFrame, dict_df: DataFrame,
 
 def extract_and_score(spark: SparkSession, transcripts: DataFrame,
                       weights_bc=None,
-                      threshold: float = spec.REL_THRESHOLD) -> DataFrame:
+                      threshold: float = spec.REL_THRESHOLD,
+                      cross_turn_k: int = 0) -> DataFrame:
+    """B1–B5 extraction. ``cross_turn_k > 0`` additionally scores
+    mention pairs spanning ≤ k turns within a conversation (B3's ±k
+    window, extract.cross_turn_instances): one extra conv-keyed
+    shuffle; the frozen scorers were trained on intra-turn instances,
+    so cross-turn pairs score conservatively (mostly NA) — the wiring
+    is the capability, a cross-turn-trained checkpoint is the tuning
+    knob."""
     if weights_bc is None:
         weights_bc = score.broadcast_weights(spark)
-    return score.extract_and_score_fused(transcripts, weights_bc,
-                                         threshold=threshold)
+    fused = score.extract_and_score_fused(transcripts, weights_bc,
+                                          threshold=threshold)
+    if not cross_turn_k:
+        return fused
+    inst = extract.cross_turn_instances(transcripts, k=cross_turn_k)
+    xscored = score.score_instances(inst, weights_bc, threshold=threshold)
+    xlinked = link.link_instances(xscored, link.dictionary_df(spark))
+    return fused.unionByName(
+        xlinked.select([f.name for f in score.FUSED_SCHEMA.fields]))
 
 
 def run(spark: SparkSession, transcripts: DataFrame,
         weights_bc=None, checkpoint_root: str | None = None,
         n_buckets: int = 16,
-        snapshot_id: str | None = None) -> dict[str, DataFrame]:
+        snapshot_id: str | None = None,
+        cross_turn_k: int = 0) -> dict[str, DataFrame]:
     """The full pipeline. Returns {'triples': T8, 'adjacency': T9,
     'scored': T4-narrow, 'observations': {stage: Observation}} — the
     observations fill for free when the caller's first action runs
@@ -116,7 +132,8 @@ def run(spark: SparkSession, transcripts: DataFrame,
         weights_bc = score.broadcast_weights(spark)
 
     def _extract_fn(df: DataFrame) -> DataFrame:
-        return extract_and_score(spark, df, weights_bc)
+        return extract_and_score(spark, df, weights_bc,
+                                 cross_turn_k=cross_turn_k)
 
     if checkpoint_root:
         snap = snapshot_id or snapshot_id_of(transcripts)

@@ -74,6 +74,20 @@ def test_pipeline_permutation_invariant(spark):
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
 
+def test_pipeline_cross_turn_option(spark, tiny_transcripts):
+    """cross_turn_k wires B3's ±k window into the pipeline: output is
+    a superset of the intra-turn triples (the union can only add),
+    schema unchanged."""
+    from kg import pipeline
+
+    df, _ = tiny_transcripts
+    base = pipeline.run(spark, df)["triples"]
+    xt = pipeline.run(spark, df, cross_turn_k=1)["triples"]
+    assert xt.schema == base.schema
+    key = ["subj", "pred", "obj"]
+    assert base.select(*key).subtract(xt.select(*key)).count() == 0
+
+
 def test_confidence_and_support_sane(e2e_result):
     t8, _ = e2e_result
     rows = t8.collect()
