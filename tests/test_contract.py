@@ -49,6 +49,23 @@ def test_registry_shape():
     assert len(or_) >= 25
 
 
+def test_simhash_word_identical_docs_share_bucket(spark):
+    """64-bit simhash: word-identical docs collide; docs over disjoint
+    vocabularies do not. Regression: the per-bit ±1 vote sum must be
+    SIGNED — a uint64 wrap made every deficit bit read 'positive'
+    and collapsed most docs into simhash -1."""
+    rows = [(0, "alpha beta gamma delta epsilon zeta"),
+            (1, "zeta epsilon delta gamma beta alpha"),   # same word set
+            (2, "one two three four five six seven")]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet("/tmp/_simhash_docs/documents.parquet")
+    out = contract.Q["simhash_buckets"][0](spark, "/tmp/_simhash_docs") \
+        .collect()
+    sizes = sorted(r["n_docs"] for r in out)
+    assert sizes == [1, 2]
+    assert all(r["simhash"] != -1 for r in out)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
