@@ -866,34 +866,26 @@ def simhash_buckets(spark, sf):
     Split of labor mirrors canon.minhash: per-word 64-bit hashes are
     computed JVM-side (transform + xxhash64 — no Python string ops),
     the per-bit ±1 majority vote runs as one vectorized numpy pass
-    per Arrow batch. A 64-wide higher-order-function formulation was
-    measured 30× slower (nested lambda interpretation per word)."""
-    import numpy as np
-    import pandas as pd
+    per Arrow batch (canon.simhash64). A 64-wide higher-order-function
+    formulation was measured 30× slower."""
+    from kg.stages import canon
 
-    def batches(it):
-        shifts = np.arange(64, dtype=np.uint64)
-        for pdf in it:
-            out = np.empty(len(pdf), dtype=np.int64)
-            for i, hs in enumerate(pdf["hashes"]):
-                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
-                bits = (h[:, None] >> shifts) & np.uint64(1)  # (W,64)
-                # signed: the ±1 vote sum goes negative (uint64 would
-                # wrap and make every deficit bit look "positive")
-                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)
-                out[i] = ((votes > 0).astype(np.uint64)
-                          << shifts).sum().astype(np.int64)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"],
-                                "simhash": out})
-
-    d = (_t(spark, sf, "documents")
-         .select("doc_id",
-                 F.transform(F.split(F.lower("text"), " "),
-                             lambda w: F.xxhash64(w)).alias("hashes"))
-         .where(F.size("hashes") > 0))
-    sims = d.mapInPandas(batches, schema="doc_id long, simhash long")
+    sims = canon.simhash64(_t(spark, sf, "documents"))
     return (sims.groupBy("simhash").agg(F.count("*").alias("n_docs"))
             .orderBy(F.desc("n_docs"), F.asc("simhash")).limit(100))
+
+
+@q("simhash_near_dups", None)
+def simhash_near_dups(spark, sf):
+    """SimHash near-dup pairs at Hamming ≤ 3 via the Manku block join
+    (canon.simhash_near_pairs): 4×16-bit blocks, pigeonhole guarantees
+    every d≤3 pair shares an intact block; candidates come from a
+    block-value equi-join and verify in-line with bit_count(xor)."""
+    from kg.stages import canon
+
+    sims = canon.simhash64(_t(spark, sf, "documents"))
+    return (canon.simhash_near_pairs(sims)
+            .orderBy("src", "dst"))
 
 
 @q("ann_lsh_topk", None)

@@ -223,6 +223,73 @@ def near_duplicate_edges(norms: DataFrame,
     return verify_pairs(candidate_pairs(banded), feats, tau=tau)
 
 
+def simhash64(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit word-feature SimHash (Charikar 2002): per-word xxhash64
+    JVM-side, the per-bit ±1 majority vote as one vectorized numpy
+    pass per Arrow batch. → (id, simhash)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in it:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, hs in enumerate(pdf["hashes"]):
+                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                bits = (h[:, None] >> shifts) & np.uint64(1)
+                # signed: uint64 would wrap negative vote sums
+                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)
+                out[i] = ((votes > 0).astype(np.uint64)
+                          << shifts).sum().astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return (docs.select(
+                id_col,
+                F.transform(F.split(F.lower(text_col), " "),
+                            lambda w: F.xxhash64(w)).alias("hashes"))
+            .where(F.size("hashes") > 0)
+            .mapInPandas(batches, schema=f"{id_col} long, simhash long"))
+
+
+def simhash_near_pairs(sims: DataFrame, id_col: str = "doc_id",
+                       max_hamming: int = 3, n_blocks: int = 4,
+                       block_cap: int = spec.BLOCK_CAP) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ d (Manku,
+    Jain & Das Sarma, WWW 2007, single-permutation block variant):
+    split the 64-bit signature into ``n_blocks`` blocks — any pair
+    within Hamming distance ``max_hamming ≤ n_blocks − 1`` shares at
+    least one INTACT block (pigeonhole), so candidates come from a
+    block-value equi-join, never an all-pairs scan. The 8-byte
+    signature rides the block shuffle, so verification
+    (``bit_count(x ^ y)``) is in-line JVM work with no re-join.
+
+    Precision-oriented complement to the minhash path
+    (:func:`near_duplicate_edges` is the recall workhorse): wider
+    blocks ⇒ fewer false candidates but only a d ≤ n_blocks−1
+    guarantee. Returns (src, dst, hamming), src < dst."""
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    blocks = F.array(*[
+        F.struct(F.lit(b).alias("blk"),
+                 F.shiftright("simhash", b * width)
+                  .bitwiseAND(F.lit(mask)).alias("bval"))
+        for b in range(n_blocks)])
+    banded = (sims.select(F.col(id_col).alias("id"), "simhash",
+                          F.explode(blocks).alias("bb"))
+              .select("id", "simhash", "bb.blk", "bb.bval"))
+    pair_expr = (
+        "flatten(transform(ns, (x, i) -> "
+        "transform(slice(ns, i + 2, size(ns)), y -> struct("
+        "least(x.id, y.id) AS src, greatest(x.id, y.id) AS dst, "
+        "bit_count(x.simhash ^ y.simhash) AS hamming))))")
+    grouped = (banded.groupBy("blk", "bval")
+               .agg(F.collect_list(F.struct("id", "simhash")).alias("ns"))
+               .where(F.size("ns").between(2, block_cap)))
+    return (grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select("p.src", "p.dst", "p.hamming")
+            .where((F.col("hamming") <= max_hamming)
+                   & (F.col("src") != F.col("dst")))
+            .dropDuplicates(["src", "dst"]))
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          max_iter: int = 20) -> DataFrame:
     """C3: hash-to-min label propagation to a fixpoint.

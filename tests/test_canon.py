@@ -212,6 +212,26 @@ def test_snapshot_id_requires_files(spark):
         pipeline.snapshot_id_of(df)
 
 
+def test_simhash_near_pairs_recall_and_precision(spark):
+    """The Manku block join must find EVERY pair within its Hamming
+    guarantee (d ≤ n_blocks−1) and emit nothing beyond max_hamming —
+    checked against exact all-pairs Hamming in numpy at sf0.001."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sims = canon.simhash64(docs).persist()
+    got = {(r["src"], r["dst"]): r["hamming"]
+           for r in canon.simhash_near_pairs(sims, max_hamming=3).collect()}
+    sh = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+    ids = sorted(sh)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
+    assert want, "no pairs within Hamming 3 — vacuous"
+
+
 def test_minhash_deterministic(spark):
     norms = spark.createDataFrame([("acme corp",), ("dataquill",)],
                                   "norm string")
