@@ -106,8 +106,8 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn, trials: int = 2):
-        # best-of-2: the sandbox host is time-shared and a single
+    def timed(name, fn, trials: int = 3):
+        # best-of-3: the sandbox host is time-shared and a single
         # timing can be 3-10× inflated by a co-tenant burst
         best = float("inf")
         for _ in range(trials):

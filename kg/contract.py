@@ -728,6 +728,39 @@ def udaf_confidence_merge(spark, sf):
                   .alias("conf_e4")))
 
 
+@q("embedding_cosine_pairs", """
+WITH n AS (SELECT vec_id, embedding,
+    sqrt(list_aggregate(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nm
+  FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+             / (a.nm * b.nm), 4) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+      / (a.nm * b.nm) >= 0.25
+""")
+def embedding_cosine_pairs(spark, sf):
+    """Embedding-cosine near-dup edges, brute-force oracle SHAPE
+    (bounded all-pairs over vec_id<200, JVM zip_with/aggregate). The
+    scale path for the same semantics is the hyperplane-LSH bucket
+    join (ann_bucket_join / kg.stages.ann) — bucketed candidates,
+    exact in-candidate re-rank, never all-pairs."""
+    from kg.stages.ann import cosine
+
+    e = (_t(spark, sf, "embeddings").where("vec_id < 200")
+         .select("vec_id", "embedding"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"), cos.alias("_c"))
+            .where(F.col("_c") >= 0.25)
+            .select("id_a", "id_b", F.round("_c", 4).alias("cos")))
+
+
 @q("two_phase_salted_agg", """
 SELECT user_id, count(*) AS count FROM events GROUP BY user_id
 """)
