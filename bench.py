@@ -243,9 +243,14 @@ def main() -> None:
 
 
 def _write_bench_md(p: dict) -> None:
+    """Write the raw summary of THIS run to BENCH_AUTO_LAST.md.
+    BENCH.md itself is curated by hand (it carries the measurement
+    log across runs and the level-pair rationale); update it from
+    the auto file when a run improves on the recorded best."""
     lo, hi = p["levels"]
     lines = [
-        "# BENCH — measured scaling evidence (BASELINE.md §scaling protocol)",
+        "# BENCH_AUTO_LAST — raw summary of the most recent "
+        "`bench.py --scaling` run (canonical curated evidence: BENCH.md)",
         "",
         f"- input: {p['n_turns']} synthetic transcript turns "
         "(kg.datagen seed 42, hot-conversation skew ×100), byte-identical "
@@ -287,7 +292,7 @@ def _write_bench_md(p: dict) -> None:
     for k in q8:
         lines.append(f"| {k} | {q8[k]} | {q32.get(k, '-')} |")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH.md"), "w") as f:
+                           "BENCH_AUTO_LAST.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 

@@ -23,17 +23,29 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--cross-turn-k", type=int, default=0,
+                    help="also score mention pairs spanning <= k turns "
+                         "within a conversation (B3 window variant)")
+    ap.add_argument("--encoder", choices=("pcnn", "attn"), default="pcnn",
+                    help="relation scorer: PCNN (lookup-table fast "
+                         "path) or the BERT-style self-attention "
+                         "encoder")
     ap.add_argument("--resume", action="store_true",
                     help="(informational; resume is automatic when the "
                          "manifest matches the input snapshot)")
     args = ap.parse_args(argv)
 
     from kg import pipeline  # after session deps
+    from kg.stages import score
 
     spark = get_spark(app_name="kg-pipeline")
     t0 = io.read_table(spark, args.input)
-    out = pipeline.run(spark, t0, checkpoint_root=args.checkpoint,
-                       n_buckets=args.buckets)
+    out = pipeline.run(spark, t0,
+                       weights_bc=score.broadcast_weights(
+                           spark, encoder=args.encoder),
+                       checkpoint_root=args.checkpoint,
+                       n_buckets=args.buckets,
+                       cross_turn_k=args.cross_turn_k)
     sep = "." if io.is_iceberg(args.output) else "/"
     io.write_table(out["triples"], f"{args.output}{sep}triples")
     io.write_table(
