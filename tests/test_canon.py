@@ -232,6 +232,18 @@ def test_simhash_near_pairs_recall_and_precision(spark):
     assert want, "no pairs within Hamming 3 — vacuous"
 
 
+def test_simhash_near_pairs_block_cap(spark):
+    """Identical docs all share every block: a small cap must drop the
+    degenerate bucket rather than emit O(n²) pairs."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(40)],
+        "doc_id long, text string")
+    sims = canon.simhash64(docs)
+    assert canon.simhash_near_pairs(sims, block_cap=8).count() == 0
+    full = canon.simhash_near_pairs(sims, block_cap=64).count()
+    assert full == 40 * 39 // 2
+
+
 def test_minhash_deterministic(spark):
     norms = spark.createDataFrame([("acme corp",), ("dataquill",)],
                                   "norm string")
