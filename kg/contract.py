@@ -973,6 +973,21 @@ def ann_bucket_join(spark, sf):
             .orderBy("q", "rnk"))
 
 
+@q("ann_ivf_topk", None)
+def ann_ivf_topk(spark, sf):
+    """IVF many-to-many ANN (kg.stages.ann.ivf_topk_self_join):
+    sampled spherical-k-means coarse quantizer → inverted lists →
+    nprobe-cell candidate join → exact in-candidate re-rank. Recall
+    is pinned by test_ann.py on a clustered table."""
+    from kg.stages import ann
+
+    e = _t(spark, sf, "embeddings")
+    top = ann.ivf_topk_self_join(e, n_cells=16, nprobe=2, k=3, seed=7)
+    return (top.where("q < 50")
+            .select("q", "c", F.round("cos", 4).alias("cos"), "rnk")
+            .orderBy("q", "rnk"))
+
+
 @q("kg_bag_attention", None)
 def kg_bag_attention(spark, sf):
     """B4 bag-level option: selective attention over instances sharing

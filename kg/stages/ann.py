@@ -101,22 +101,14 @@ def cosine(a, b):
     return dot / F.sqrt(sq(a) * sq(b))
 
 
-def ann_topk_self_join(vecs: DataFrame, id_col: str = "vec_id",
-                       emb_col: str = "embedding", *,
-                       dim: int, k: int = 10, n_planes: int = 8,
-                       n_tables: int = 4, seed: int = 7,
-                       bucket_cap: int = BUCKET_CAP) -> DataFrame:
-    """Every vector's approximate top-k cosine neighbors:
-    (q, c, cos, rnk) with rnk ∈ [1, k], deterministic tie-break on c.
-
-    Exact re-rank happens only INSIDE the candidate set: embeddings
+def rerank_topk(pairs: DataFrame, vecs: DataFrame,
+                id_col: str = "vec_id", emb_col: str = "embedding",
+                k: int = 10) -> DataFrame:
+    """Exact cosine re-rank of candidate (q, c) pairs → per-query
+    top-k (q, c, cos, rnk), deterministic tie-break on c. Embeddings
     attach to the deduped id pairs via two joins against the vector
     table (n rows — auto-broadcast small, node-keyed shuffle at
     scale), mirroring canon.verify_pairs."""
-    buckets = hyperplane_buckets(vecs, id_col, emb_col, dim=dim,
-                                 n_planes=n_planes, n_tables=n_tables,
-                                 seed=seed)
-    pairs = candidate_pairs(buckets, id_col, bucket_cap=bucket_cap)
     qe = vecs.select(F.col(id_col).alias("q"), F.col(emb_col).alias("qe"))
     ce = vecs.select(F.col(id_col).alias("c"), F.col(emb_col).alias("ce"))
     scored = (pairs.join(qe, "q").join(ce, "c")
@@ -125,3 +117,97 @@ def ann_topk_self_join(vecs: DataFrame, id_col: str = "vec_id",
     w = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("c"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k))
+
+
+def ann_topk_self_join(vecs: DataFrame, id_col: str = "vec_id",
+                       emb_col: str = "embedding", *,
+                       dim: int, k: int = 10, n_planes: int = 8,
+                       n_tables: int = 4, seed: int = 7,
+                       bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """Every vector's approximate top-k cosine neighbors via
+    hyperplane-LSH buckets: (q, c, cos, rnk) with rnk ∈ [1, k].
+    Exact re-rank happens only INSIDE the candidate set."""
+    buckets = hyperplane_buckets(vecs, id_col, emb_col, dim=dim,
+                                 n_planes=n_planes, n_tables=n_tables,
+                                 seed=seed)
+    pairs = candidate_pairs(buckets, id_col, bucket_cap=bucket_cap)
+    return rerank_topk(pairs, vecs, id_col, emb_col, k=k)
+
+
+def train_centroids(vecs: DataFrame, id_col: str = "vec_id",
+                    emb_col: str = "embedding", *, n_cells: int = 32,
+                    sample: int = 20_000, iters: int = 12,
+                    seed: int = 7) -> np.ndarray:
+    """IVF coarse quantizer: spherical k-means (Lloyd on cosine /
+    unit sphere) over a BOUNDED driver-side sample — the standard IVF
+    training regime (FAISS trains its quantizer on a sample too);
+    assignment of the full corpus stays distributed. Deterministic:
+    seeded init, fixed iteration count. Returns (n_cells, dim)
+    L2-normalized centroids."""
+    rows = (vecs.select(emb_col).limit(sample).collect())
+    v = np.array([r[emb_col] for r in rows], dtype=np.float64)
+    v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    c = v[rng.choice(len(v), size=min(n_cells, len(v)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(v @ c.T, axis=1)
+        for j in range(len(c)):
+            members = v[assign == j]
+            if len(members):
+                c[j] = members.sum(axis=0)
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return c
+
+
+def ivf_cells(vecs: DataFrame, centroids: np.ndarray,
+              id_col: str = "vec_id", emb_col: str = "embedding",
+              nprobe: int = 1) -> DataFrame:
+    """(id, rank, cell): each vector's ``nprobe`` nearest coarse
+    cells by cosine (rank 0 = home cell = inverted-list membership;
+    ranks 1..nprobe−1 = probe cells). One Arrow-batched matmul per
+    batch against the broadcast centroid matrix."""
+    ct = centroids.T.copy()
+    npb = nprobe
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                            1e-12)
+            sims = v @ ct                           # (n, cells)
+            order = np.argsort(-sims, axis=1)[:, :npb]
+            frames = [pd.DataFrame({id_col: pdf[id_col],
+                                    "rank": np.int32(r),
+                                    "cell": order[:, r].astype(np.int32)})
+                      for r in range(order.shape[1])]
+            yield pd.concat(frames)
+
+    return (vecs.select(id_col, emb_col)
+            .mapInPandas(batches,
+                         schema=f"{id_col} long, rank int, cell int"))
+
+
+def ivf_topk_self_join(vecs: DataFrame, id_col: str = "vec_id",
+                       emb_col: str = "embedding", *,
+                       n_cells: int = 32, nprobe: int = 2, k: int = 10,
+                       seed: int = 7) -> DataFrame:
+    """IVF variant of the many-to-many ANN (the other scale path the
+    training-data brief names): a sampled spherical-k-means coarse
+    quantizer shards the corpus into inverted lists; every vector
+    probes its ``nprobe`` nearest cells and exact-re-ranks only the
+    members found there. Cells are the shuffle partitioner at cluster
+    scale — each inverted list's join is local to its partition."""
+    cents = train_centroids(vecs, id_col, emb_col, n_cells=n_cells,
+                            seed=seed)
+    cells = ivf_cells(vecs, cents, id_col, emb_col, nprobe=nprobe)
+    members = (cells.where(F.col("rank") == 0)
+               .select(F.col(id_col).alias("c"), "cell"))
+    probes = cells.select(F.col(id_col).alias("q"), "cell")
+    pairs = (probes.join(members, "cell")
+             .where(F.col("q") != F.col("c"))
+             .select("q", "c").dropDuplicates(["q", "c"]))
+    return rerank_topk(pairs, vecs, id_col, emb_col, k=k)

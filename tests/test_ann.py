@@ -74,6 +74,21 @@ def test_ann_is_exact_within_candidates(spark, clustered):
         assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
 
 
+def test_ivf_recall_vs_bruteforce(spark, clustered):
+    """IVF self-join ANN: with cells ≈ true clusters and nprobe=2,
+    recall@10 on the clustered table must be ≥ 0.9 (members of the
+    same k-means cell dominate every true neighborhood)."""
+    df, pts = clustered
+    top = ann.ivf_topk_self_join(df, n_cells=24, nprobe=2, k=K, seed=7)
+    got: dict[int, set[int]] = {}
+    for r in top.collect():
+        got.setdefault(r["q"], set()).add(r["c"])
+    want = _true_topk(pts.astype(np.float64), K)
+    recall = float(np.mean([len(got.get(q, set()) & set(want[q])) / K
+                            for q in range(len(pts))]))
+    assert recall >= 0.9, recall
+
+
 def test_bucket_cap_drops_degenerate_buckets(spark):
     """All-identical vectors land in one bucket per table; a cap of 8
     must drop the 50-member bucket rather than emit 50·49 pairs."""
