@@ -627,6 +627,27 @@ def lang_id_heuristic(spark, sf):
         F.when(ratio > 0.05, "en").otherwise("unk").alias("lang_pred")))
 
 
+@q("token_count_bpe", r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]'))
+           AS n_bpe_tokens
+FROM documents
+""")
+def token_count_bpe(spark, sf):
+    """Token counting for corpus budgeting: whitespace tokens AND a
+    BPE-ish pre-tokenizer count (letter runs | single digits | single
+    non-alphanumerics — the GPT-2 pre-tokenizer family, restricted to
+    constructs Java regex and RE2 interpret identically). JVM-side
+    regexp_extract_all, pushable, no UDF."""
+    bpe = F.expr(
+        "regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]', 0)")
+    return (_t(spark, sf, "documents")
+            .select("doc_id",
+                    F.size(F.split("text", " ")).alias("n_ws_tokens"),
+                    F.size(bpe).alias("n_bpe_tokens")))
+
+
 @q("doc_fingerprint", """
 SELECT doc_id,
        md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
