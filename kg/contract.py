@@ -329,34 +329,29 @@ def window_rank(spark, sf):
             .select("o_custkey", "o_orderkey", "rnk"))
 
 
-@q("window_lag_delta", """
+@q("window_analytic", """
 SELECT event_id,
        round(value - lag(value) OVER
-             (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
-FROM events
-""")
-def window_lag_delta(spark, sf):
-    """F: analytic window (lag) — the A3 overlap-context shape."""
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return (_t(spark, sf, "events")
-            .select("event_id",
-                    F.round(F.col("value") - F.lag("value").over(w), 4)
-                     .alias("delta")))
-
-
-@q("window_running_sum", """
-SELECT event_id,
+             (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW), 4) AS run_sum
 FROM events
 """)
-def window_running_sum(spark, sf):
-    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
+def window_analytic(spark, sf):
+    """F: analytic window functions — lag delta AND a running-frame
+    sum over the same window spec (the A3 overlap-context shape).
+    One entry, two analytics: merged from round 2's window_lag_delta
+    + window_running_sum so the driver's ~50-entry evaluation window
+    holds higher-information operators (VERDICT r2 #1); Catalyst
+    computes both in a single Window node."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return (_t(spark, sf, "events")
             .select("event_id",
-                    F.round(F.sum("value").over(w), 4).alias("run_sum")))
+                    F.round(F.col("value") - F.lag("value").over(w), 4)
+                     .alias("delta"),
+                    F.round(F.sum("value").over(wf), 4).alias("run_sum")))
 
 
 @q("window_first_last", """
@@ -420,55 +415,53 @@ def topk(spark, sf):
 
 
 @q("set_ops", """
-SELECT event_type FROM events WHERE event_id < 5000
-INTERSECT
-SELECT event_type FROM events WHERE event_id >= 5000
+SELECT 'intersect' AS op, event_type AS key FROM (
+    SELECT event_type FROM events WHERE event_id < 5000
+    INTERSECT
+    SELECT event_type FROM events WHERE event_id >= 5000)
+UNION ALL
+SELECT 'except' AS op, CAST(user_id AS VARCHAR) AS key FROM (
+    SELECT user_id FROM events
+    WHERE event_type = 'error' AND event_id < 500
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND event_id < 500)
+UNION ALL
+SELECT 'union_all' AS op, event_type || ':' || CAST(n AS VARCHAR) AS key
+FROM (SELECT event_type, count(*) AS n FROM (
+          SELECT event_type FROM events WHERE value > 15
+          UNION ALL
+          SELECT event_type FROM events WHERE event_id % 7 = 0)
+      GROUP BY event_type)
 """)
 def set_ops(spark, sf):
+    """F: the full set-op family in one tagged result — INTERSECT,
+    EXCEPT-distinct (the fixture-diff shape the P/R computation itself
+    uses: FP = ours EXCEPT gold; the event_id windows keep both sides
+    partial samples so the difference is non-empty), and UNION ALL +
+    re-aggregate. Merged from round 2's set_ops / set_except /
+    union_distinct — one driver-window slot instead of three
+    (VERDICT r2 #1); each leg's rows stay individually hash-checked
+    via the op tag."""
     e = _t(spark, sf, "events")
-    return (e.where("event_id < 5000").select("event_type")
-            .intersect(e.where("event_id >= 5000").select("event_type")))
-
-
-@q("set_except", """
-SELECT user_id FROM events WHERE event_type = 'error' AND event_id < 500
-EXCEPT
-SELECT user_id FROM events WHERE event_type = 'purchase' AND event_id < 500
-""")
-def set_except(spark, sf):
-    """F: EXCEPT — the fixture-diff shape used by the P/R computation
-    itself (FP = ours EXCEPT gold). The event_id window keeps both
-    sides partial samples of the user set so the difference is
-    non-empty (every user has both event types overall)."""
-    e = _t(spark, sf, "events").where("event_id < 500")
+    inter = (e.where("event_id < 5000").select("event_type")
+             .intersect(e.where("event_id >= 5000").select("event_type"))
+             .select(F.lit("intersect").alias("op"),
+                     F.col("event_type").alias("key")))
     # subtract = EXCEPT DISTINCT (exceptAll would keep multiplicity
     # leftovers for users appearing in both sets)
-    return (e.where("event_type = 'error'").select("user_id")
-            .subtract(e.where("event_type = 'purchase'")
-                      .select("user_id")))
-
-
-@q("union_distinct", """
-SELECT event_type, count(*) AS n FROM (
-    SELECT event_type FROM events WHERE value > 15
-    UNION ALL
-    SELECT event_type FROM events WHERE event_id % 7 = 0
-) GROUP BY event_type
-""")
-def union_distinct(spark, sf):
-    e = _t(spark, sf, "events")
-    u = (e.where("value > 15").select("event_type")
-         .unionByName(e.where("event_id % 7 = 0").select("event_type")))
-    return u.groupBy("event_type").agg(F.count("*").alias("n"))
-
-
-@q("approx_distinct", None)
-def approx_distinct(spark, sf):
-    """approx_count_distinct (HLL) — rows-only: sketch estimates are
-    engine-specific by design."""
-    return (_t(spark, sf, "lineitem").groupBy("l_returnflag")
-            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
-                 F.countDistinct("l_partkey").alias("exact_parts")))
+    e500 = e.where("event_id < 500")
+    exc = (e500.where("event_type = 'error'").select("user_id")
+           .subtract(e500.where("event_type = 'purchase'")
+                     .select("user_id"))
+           .select(F.lit("except").alias("op"),
+                   F.col("user_id").cast("string").alias("key")))
+    uni = (e.where("value > 15").select("event_type")
+           .unionByName(e.where("event_id % 7 = 0").select("event_type"))
+           .groupBy("event_type").agg(F.count("*").alias("n"))
+           .select(F.lit("union_all").alias("op"),
+                   F.concat_ws(":", "event_type", "n").alias("key")))
+    return inter.unionByName(exc).unionByName(uni)
 
 
 @q("distinct_dedup", """
@@ -648,6 +641,51 @@ def token_count_bpe(spark, sf):
                     F.size(bpe).alias("n_bpe_tokens")))
 
 
+def _bpe_chain_sql(inner: str) -> str:
+    """Rank-ordered merge rewriting as a nested replace() chain — the
+    same function names and argument order parse in Spark SQL and
+    DuckDB, so one string serves both engines."""
+    from kg import spec
+
+    expr = inner
+    for pat, rep in spec.BPE_MERGES:
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return expr
+
+
+@q("token_count_bpe_merges", f"""
+SELECT doc_id,
+       length(replace({_bpe_chain_sql('lower(text)')}, ' ', ''))
+           AS n_bpe_symbols,
+       length(replace(lower(text), ' ', ''))
+       - length(replace({_bpe_chain_sql('lower(text)')}, ' ', ''))
+           AS n_merges
+FROM documents
+""")
+def token_count_bpe_merges(spark, sf):
+    """Learned-BPE token counting, merge-table path (VERDICT r2 #4):
+    kg.spec.BPE_MERGES applied in rank order as exhaustive
+    left-to-right rewriting (each merged pair becomes one sentinel
+    symbol — see the scope note on the table), then the merged-symbol
+    count = residual characters excluding spaces, and n_merges =
+    symbols eliminated. Fully JVM-side (a replace() chain inside
+    whole-stage codegen — no UDF, pushable); the oracle runs the
+    IDENTICAL chain in DuckDB, and kg.spec.bpe_symbol_count pins both
+    against pure Python in pytest. token_count_bpe (above) keeps the
+    pre-tokenizer counts as the sanity columns."""
+    from kg import spec
+
+    merged = F.lower(F.col("text"))
+    for pat, rep in spec.BPE_MERGES:
+        merged = F.replace(merged, F.lit(pat), F.lit(rep))
+    n_sym = F.length(F.replace(merged, F.lit(" "), F.lit("")))
+    n_base = F.length(F.replace(F.lower(F.col("text")),
+                                F.lit(" "), F.lit("")))
+    return (_t(spark, sf, "documents")
+            .select("doc_id", n_sym.alias("n_bpe_symbols"),
+                    (n_base - n_sym).alias("n_merges")))
+
+
 @q("doc_fingerprint", """
 SELECT doc_id,
        md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
@@ -782,6 +820,44 @@ def embedding_cosine_pairs(spark, sf):
             .select("id_a", "id_b", F.round("_c", 4).alias("cos")))
 
 
+@q("ann_rerank_exact", """
+WITH v AS (SELECT vec_id, embedding,
+        list_aggregate(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS sq
+    FROM embeddings),
+scored AS (
+    SELECT q.vec_id AS q, c.vec_id AS c,
+           list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+           / sqrt(greatest(q.sq * c.sq, 1e-12)) AS cos
+    FROM v q JOIN v c
+      ON q.vec_id < 100 AND c.vec_id >= 100 AND c.vec_id < 250),
+ranked AS (
+    SELECT q, c, cos,
+           row_number() OVER (PARTITION BY q ORDER BY cos DESC, c) AS rnk
+    FROM scored)
+SELECT q, c, round(cos, 4) AS cos, rnk FROM ranked WHERE rnk <= 3
+""")
+def ann_rerank_exact(spark, sf):
+    """The ANN re-rank stage, oracle-pinned (VERDICT r2 #2): the SAME
+    kg.stages.ann.rerank_topk that finishes BOTH many-to-many ANN
+    paths (ann_bucket_join / ann_ivf_topk), driven by a FIXED
+    candidate set (every q<100 × every 100≤c<250) that DuckDB
+    brute-forces identically — dot, the sqrt(greatest(sq·sq, 1e-12))
+    zero-norm-guarded denominator, the (cos DESC, c) window, the
+    k=3 cut. With the re-rank hash-matched here, the rows-only ANN
+    entries add only candidate generation, whose recall test_ann.py
+    pins against brute force."""
+    from kg.stages import ann
+
+    e = _t(spark, sf, "embeddings")
+    qs = e.where("vec_id < 100").select(F.col("vec_id").alias("q"))
+    cs = (e.where("vec_id >= 100 and vec_id < 250")
+          .select(F.col("vec_id").alias("c")))
+    top = ann.rerank_topk(qs.crossJoin(cs), e, k=3)
+    return top.select("q", "c", F.round("cos", 4).alias("cos"), "rnk")
+
+
 @q("two_phase_salted_agg", """
 SELECT user_id, count(*) AS count FROM events GROUP BY user_id
 """)
@@ -851,37 +927,58 @@ def kg_score_relations(spark, sf):
                  F.round(F.avg("score"), 3).alias("avg_score")))
 
 
-@q("kg_score_relations_attn", None)
-def kg_score_relations_attn(spark, sf):
-    """B4 alternative encoder: the BERT-style self-attention scorer
-    (kg/model_attn.py, val acc 1.0 on the pinned split) behind the
-    SAME fused extraction UDF — only the broadcast weights differ."""
-    from kg import pipeline as pl
-    from kg.stages import score
-
-    bc = score.broadcast_weights(spark, encoder="attn")
-    scored = pl.extract_and_score(spark, _fixture_t0(spark), weights_bc=bc)
-    return (scored.groupBy("rel")
-            .agg(F.count("*").alias("n_instances"),
-                 F.round(F.avg("score"), 3).alias("avg_score")))
-
-
-@q("kg_connected_components", None)
+@q("kg_connected_components", """
+WITH RECURSIVE roots AS (
+    SELECT o_custkey, min(o_orderkey) AS root FROM orders
+    GROUP BY o_custkey),
+star AS (
+    SELECT r.root AS src, o.o_orderkey AS dst
+    FROM orders o JOIN roots r ON o.o_custkey = r.o_custkey
+    WHERE o.o_orderkey <> r.root),
+bridge AS (
+    SELECT a.o_orderkey AS src, b.o_orderkey AS dst
+    FROM orders a JOIN orders b ON b.o_orderkey = a.o_orderkey + 1
+    WHERE a.o_orderkey % 97 = 0),
+e AS (SELECT src, dst FROM star UNION SELECT src, dst FROM bridge),
+nodes AS (SELECT o_orderkey AS node FROM orders),
+sym AS (SELECT src, dst FROM e
+        UNION SELECT dst AS src, src AS dst FROM e),
+walk(node, comp) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node)
+SELECT node, min(comp) AS component FROM walk GROUP BY node
+""")
 def kg_connected_components(spark, sf):
-    """C3 over the mention-variant similarity graph of the fixture."""
+    """C3 DISTRIBUTED connected components, oracle-pinned end to end
+    (VERDICT r2 #5): canon.connected_components (hash-to-min message
+    passing) over a deterministic multi-component graph built from
+    the orders table — per-customer star edges (root = customer's min
+    order) plus sparse bridges (order k — k+1 where k % 97 = 0) that
+    merge a few stars into diameter-~10 clusters, so label propagation
+    genuinely iterates. DuckDB verifies with a WITH RECURSIVE
+    transitive-closure min-label (the test_canon.py oracle shape,
+    promoted to the driver contract). ~1,345 components over 15k
+    nodes at sf0.01. The fixture-graph CC (minhash edges) stays
+    covered by pytest + kg_pipeline_triples."""
     from kg.stages import canon
-    from kg.stages.extract import detect_mentions
 
-    norms = detect_mentions(_fixture_t0(spark)).select("norm")
-    feats = canon.node_features(norms).persist()
-    signed = canon.minhash_signatures(feats).persist()
-    edges = canon.verify_pairs(
-        canon.candidate_pairs(canon.lsh_bands(signed)), feats)
-    comps = canon.connected_components(signed.select("node"), edges)
-    return (comps.groupBy("component")
-            .agg(F.count("*").alias("cluster_size"))
-            .groupBy("cluster_size")
-            .agg(F.count("*").alias("n_clusters")))
+    o = _t(spark, sf, "orders")
+    roots = (o.groupBy("o_custkey")
+             .agg(F.min("o_orderkey").alias("root")))
+    star = (o.join(roots, "o_custkey")
+            .where(F.col("o_orderkey") != F.col("root"))
+            .select(F.col("root").alias("src"),
+                    F.col("o_orderkey").alias("dst")))
+    a, b = o.alias("a"), o.alias("b")
+    bridge = (a.join(b, F.col("b.o_orderkey")
+                     == F.col("a.o_orderkey") + 1)
+              .where(F.col("a.o_orderkey") % 97 == 0)
+              .select(F.col("a.o_orderkey").alias("src"),
+                      F.col("b.o_orderkey").alias("dst")))
+    edges = star.unionByName(bridge).dropDuplicates(["src", "dst"])
+    nodes = o.select(F.col("o_orderkey").alias("node"))
+    return canon.connected_components(nodes, edges)
 
 
 @q("kg_adjacency", None)
@@ -910,69 +1007,22 @@ def minhash_lsh_dedup(spark, sf):
         .select("src", "dst", F.round("sim", 4).alias("sim"))
 
 
-@q("simhash_buckets", None)
-def simhash_buckets(spark, sf):
-    """SimHash (full 64-bit, word-feature) bucket histogram over
-    documents — identical simhashes ⇒ near-duplicate candidates
-    (Charikar 2002; the Google-crawl dedup design of Manku et al.
-    2007 hangs Hamming-ball probing off this exact table).
-
-    Split of labor mirrors canon.minhash: per-word 64-bit hashes are
-    computed JVM-side (transform + xxhash64 — no Python string ops),
-    the per-bit ±1 majority vote runs as one vectorized numpy pass
-    per Arrow batch (canon.simhash64). A 64-wide higher-order-function
-    formulation was measured 30× slower."""
-    from kg.stages import canon
-
-    sims = canon.simhash64(_t(spark, sf, "documents"))
-    return (sims.groupBy("simhash").agg(F.count("*").alias("n_docs"))
-            .orderBy(F.desc("n_docs"), F.asc("simhash")).limit(100))
-
-
 @q("simhash_near_dups", None)
 def simhash_near_dups(spark, sf):
     """SimHash near-dup pairs at Hamming ≤ 3 via the Manku block join
     (canon.simhash_near_pairs): 4×16-bit blocks, pigeonhole guarantees
     every d≤3 pair shares an intact block; candidates come from a
-    block-value equi-join and verify in-line with bit_count(xor)."""
+    block-value equi-join and verify in-line with bit_count(xor).
+    The 64-bit signatures come from canon.simhash64 (Charikar 2002):
+    per-word xxhash64 JVM-side, the per-bit ±1 majority vote one
+    vectorized numpy pass per Arrow batch. (Subsumes round 2's
+    simhash_buckets histogram entry — the block join IS the bucket
+    table put to work.)"""
     from kg.stages import canon
 
     sims = canon.simhash64(_t(spark, sf, "documents"))
     return (canon.simhash_near_pairs(sims)
             .orderBy("src", "dst"))
-
-
-@q("ann_lsh_topk", None)
-def ann_lsh_topk(spark, sf):
-    """ANN via random-hyperplane LSH bucketing: candidates share a
-    sign-signature bucket with the query; exact cosine re-rank inside
-    the bucket. The 100TB path: buckets shard the similarity search."""
-    import numpy as np
-
-    e = _t(spark, sf, "embeddings")
-    rng = np.random.default_rng(7)
-    planes = rng.standard_normal((8, 64))
-    cols = [
-        F.when(F.aggregate(
-            F.zip_with("embedding",
-                       F.array(*[F.lit(float(v)) for v in planes[i]]),
-                       lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda a, x: a + x) > 0, 1).otherwise(0).alias(f"b{i}")
-        for i in range(8)]
-    sig = e.select("vec_id", "embedding", *cols)
-    sig = sig.withColumn(
-        "bucket", F.concat_ws("", *[F.col(f"b{i}") for i in range(8)]))
-    qb = sig.where("vec_id = 0").select(
-        F.col("bucket").alias("qbucket"),
-        F.col("embedding").alias("qe"))
-    cand = sig.where("vec_id <> 0").join(
-        F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
-    dot = F.aggregate(
-        F.zip_with("embedding", "qe",
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda a, x: a + x)
-    return (cand.select("vec_id", F.round(dot, 4).alias("dot"))
-            .orderBy(F.desc("dot"), F.asc("vec_id")).limit(10))
 
 
 @q("ann_bucket_join", None)
@@ -1009,19 +1059,6 @@ def ann_ivf_topk(spark, sf):
             .orderBy("q", "rnk"))
 
 
-@q("kg_bag_attention", None)
-def kg_bag_attention(spark, sf):
-    """B4 bag-level option: selective attention over instances sharing
-    an entity pair (Lin et al. 2016; inference-time reduction)."""
-    from kg.stages import bag, score
-
-    bc = score.broadcast_weights(spark)
-    return (bag.score_bags(_fixture_t0(spark), bc)
-            .select("head_entity", "rel", "tail_entity",
-                    F.round("score", 3).alias("score"), "bag_size")
-            .orderBy("head_entity", "rel", "tail_entity"))
-
-
 @q("kg_cross_turn_pairs", None)
 def kg_cross_turn_pairs(spark, sf):
     """B3 cross-turn variant: mention pairs spanning ≤1 turn within a
@@ -1031,6 +1068,19 @@ def kg_cross_turn_pairs(spark, sf):
     return (cross_turn_instances(_fixture_t0(spark), k=1)
             .groupBy("head_mtype", "tail_mtype")
             .agg(F.count("*").alias("n_pairs")))
+
+
+# ---------------------------------------------------------------------------
+# TAIL — entries past the driver's ~50-entry evaluation window, BY
+# DESIGN (VERDICT r2 #1: the driver evaluates the first ~50 registry
+# entries in dict order). Everything below is pytest-covered and
+# either a near-duplicate of an in-window entry (attn scorer = same
+# fused UDF as kg_score_relations with different broadcast weights;
+# pipeline_cross_turn = kg_pipeline_triples + the in-window
+# kg_cross_turn_pairs stage), an engine-specific sketch
+# (approx_distinct), or an honestly-stubbed surface (multimodal).
+# Adding a NEW entry? Put it ABOVE this line and move something down.
+# ---------------------------------------------------------------------------
 
 
 @q("kg_pipeline_cross_turn", None)
@@ -1060,6 +1110,46 @@ def multimodal_stub_features(spark, sf):
     d = (_t(spark, sf, "documents")
          .select("doc_id", F.encode("text", "utf-8").alias("payload")))
     return extract_binary_features(d)
+
+
+@q("kg_score_relations_attn", None)
+def kg_score_relations_attn(spark, sf):
+    """B4 alternative encoder: the BERT-style self-attention scorer
+    (kg/model_attn.py, val acc 1.0 on the pinned split) behind the
+    SAME fused extraction UDF — only the broadcast weights differ.
+    Tail slot: near-duplicate of kg_score_relations by construction;
+    pytest (test_attn.py) carries its correctness evidence."""
+    from kg import pipeline as pl
+    from kg.stages import score
+
+    bc = score.broadcast_weights(spark, encoder="attn")
+    scored = pl.extract_and_score(spark, _fixture_t0(spark), weights_bc=bc)
+    return (scored.groupBy("rel")
+            .agg(F.count("*").alias("n_instances"),
+                 F.round(F.avg("score"), 3).alias("avg_score")))
+
+
+@q("kg_bag_attention", None)
+def kg_bag_attention(spark, sf):
+    """B4 bag-level option: selective attention over instances sharing
+    an entity pair (Lin et al. 2016; inference-time reduction). Tail
+    slot: test_bag.py carries its correctness evidence."""
+    from kg.stages import bag, score
+
+    bc = score.broadcast_weights(spark)
+    return (bag.score_bags(_fixture_t0(spark), bc)
+            .select("head_entity", "rel", "tail_entity",
+                    F.round("score", 3).alias("score"), "bag_size")
+            .orderBy("head_entity", "rel", "tail_entity"))
+
+
+@q("approx_distinct", None)
+def approx_distinct(spark, sf):
+    """approx_count_distinct (HLL) — rows-only: sketch estimates are
+    engine-specific by design. Tail slot: low-information check."""
+    return (_t(spark, sf, "lineitem").groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                 F.countDistinct("l_partkey").alias("exact_parts")))
 
 
 def queries():

@@ -61,18 +61,50 @@ def render_instance(rng: np.random.Generator) -> tuple[str, str, str, str]:
     return tpl.format(A=sa, B=sb), rel, a["canonical"], b["canonical"]
 
 
+def render_cross_instance(
+        rng: np.random.Generator) -> tuple[str, str, str, str, str]:
+    """One relation asserted across TWO adjacent turns (B3 cross-turn
+    gold; VERDICT r2 #6). Returns (text_a, text_b, rel,
+    canonical_subj, canonical_obj): the subject appears only in
+    text_a, the object only in text_b — each turn alone has <2
+    mentions, so the triple is recoverable ONLY through the ±k
+    cross-turn extractor."""
+    groups = _by_type()
+    rels = list(_REL_WEIGHTS)
+    probs = np.array([_REL_WEIGHTS[r] for r in rels])
+    rel = rels[int(rng.choice(len(rels), p=probs / probs.sum()))]
+    st, ot, tpls = spec.CROSS_TEMPLATES[rel]
+    pa, pb = tpls[int(rng.integers(len(tpls)))]
+    a = groups[st][int(rng.integers(len(groups[st])))]
+    while True:
+        b = groups[ot][int(rng.integers(len(groups[ot])))]
+        if b["canonical"] != a["canonical"]:
+            break
+    sa = a["variants"][int(rng.integers(len(a["variants"])))]
+    sb = b["variants"][int(rng.integers(len(b["variants"])))]
+    return (pa.format(A=sa), pb.format(B=sb), rel,
+            a["canonical"], b["canonical"])
+
+
 def generate(
     n_conversations: int = 200,
     mean_turns: int = 8,
     seed: int = 42,
     skew_factor: int = 0,
     pct_entity_bearing: float = 0.6,
+    pct_cross_turn: float = 0.0,
 ) -> tuple[pd.DataFrame, list[tuple[str, str, str]]]:
     """Build (transcripts pandas frame, sorted distinct gold triples).
 
     ``skew_factor`` > 0 makes conversation 0 the hot conversation with
     ``skew_factor × mean_turns`` turns (exercises E3 salting).
-    """
+
+    ``pct_cross_turn`` > 0 makes that fraction of turn slots start a
+    TWO-turn cross-turn relation (render_cross_instance); its gold
+    triples are only recoverable with ``pipeline.run(...,
+    cross_turn_k>=1)``. The default 0.0 draws NOTHING extra from the
+    rng, so every pre-round-3 fixture (goldens, bench corpora) is
+    byte-identical."""
     rng = np.random.default_rng(seed)
     lengths = np.maximum(rng.geometric(1.0 / mean_turns, n_conversations), 2)
     if skew_factor > 0 and n_conversations > 0:
@@ -83,12 +115,20 @@ def generate(
     for ci in range(n_conversations):
         conv_id = f"c{ci:08d}"
         base_ts = EPOCH + timedelta(minutes=ci)
+        pending: str | None = None
         for ti in range(int(lengths[ci])):
             if rng.random() < 0.15:
                 role, tool = "tool", TOOLS[int(rng.integers(len(TOOLS)))]
             else:
                 role, tool = ("user", None) if ti % 2 == 0 else ("assistant", None)
-            if rng.random() < pct_entity_bearing:
+            if pending is not None:
+                text, pending = pending, None
+            elif (pct_cross_turn > 0 and ti + 1 < int(lengths[ci])
+                    and rng.random() < pct_cross_turn):
+                text, pending, rel, subj, obj = render_cross_instance(rng)
+                if rel != spec.NA_RELATION:
+                    gold.add((subj, rel, obj))
+            elif rng.random() < pct_entity_bearing:
                 text, rel, subj, obj = render_instance(rng)
                 if rel != spec.NA_RELATION:
                     gold.add((subj, rel, obj))
@@ -156,4 +196,61 @@ def training_instances(
                         continue
                     out.append((p["token_ids"], p["head_pos"],
                                 p["tail_pos"], label))
+    return out
+
+
+def cross_training_instances(
+    n_per_template: int = 120, seed: int = 9, n_distractor: int = 400,
+) -> list[tuple[list[int], int, int, int]]:
+    """Cross-turn labeled instances for the trainer (VERDICT r2 #6),
+    built with the EXACT construction extract.cross_turn_instances
+    uses at inference (head turn ⊕ '.' ⊕ tail turn, tail positions
+    offset past the separator):
+
+    - positives: every CROSS_TEMPLATES pair rendered ``n_per_template``
+      times, the (subject→object) pair labeled with the template rel;
+    - composite distractors: two INDEPENDENT intra-turn renders joined
+      the same way, every cross-separator pair labeled NA — teaches
+      that relation wording inside one turn does not project onto
+      pairs that span the separator (the false-positive mode a
+      cross-turn-naive model exhibits on adjacent entity-bearing
+      turns)."""
+    from kg import nlp
+
+    rng = np.random.default_rng(seed)
+    groups = _by_type()
+    out: list[tuple[list[int], int, int, int]] = []
+
+    def pairs_across(toks_a: list[str], toks_b: list[str]):
+        joined = toks_a + ["."] + toks_b
+        ids = spec.token_ids(joined)
+        off = len(toks_a) + 1
+        return [(ids, a["span_start"], b["span_start"] + off,
+                 a["canonical"], b["canonical"])
+                for a in nlp.find_mentions(toks_a)
+                for b in nlp.find_mentions(toks_b)]
+
+    for rel, (st, ot, tpls) in spec.CROSS_TEMPLATES.items():
+        for pa, pb in tpls:
+            for _ in range(n_per_template):
+                a = groups[st][int(rng.integers(len(groups[st])))]
+                while True:
+                    b = groups[ot][int(rng.integers(len(groups[ot])))]
+                    if b["canonical"] != a["canonical"]:
+                        break
+                sa = a["variants"][int(rng.integers(len(a["variants"])))]
+                sb = b["variants"][int(rng.integers(len(b["variants"])))]
+                toks_a = spec.tokenize(pa.format(A=sa))
+                toks_b = spec.tokenize(pb.format(B=sb))
+                for ids, hp, tp, hc, tc in pairs_across(toks_a, toks_b):
+                    if hc == a["canonical"] and tc == b["canonical"]:
+                        out.append((ids, hp, tp, spec.REL_TO_ID[rel]))
+
+    na = spec.REL_TO_ID[spec.NA_RELATION]
+    for _ in range(n_distractor):
+        ta, _r1, _s1, _o1 = render_instance(rng)
+        tb, _r2, _s2, _o2 = render_instance(rng)
+        for ids, hp, tp, _hc, _tc in pairs_across(
+                spec.tokenize(ta), spec.tokenize(tb)):
+            out.append((ids, hp, tp, na))
     return out

@@ -15,9 +15,9 @@ both on narrow rows. At cluster scale the (table, bucket) key is the
 partitioner: each bucket's join is local to its shuffle partition, and
 skewed buckets are handled by the same BLOCK-style cap used in canon.
 
-The single-query variant (contract.py ann_lsh_topk) broadcasts one
-query's buckets; this module is the scale path when the query set IS
-the corpus (all-pairs semantic dedup, embedding clustering).
+This module is the scale path when the query set IS the corpus
+(all-pairs semantic dedup, embedding clustering); the re-rank stage is
+oracle-pinned end-to-end by contract.py ann_rerank_exact.
 """
 
 from __future__ import annotations
@@ -75,17 +75,28 @@ def hyperplane_buckets(vecs: DataFrame, id_col: str = "vec_id",
 
 
 def candidate_pairs(buckets: DataFrame, id_col: str = "vec_id",
-                    bucket_cap: int = BUCKET_CAP) -> DataFrame:
+                    bucket_cap: int = BUCKET_CAP, obs=None) -> DataFrame:
     """Directed candidate pairs (q, c): ids sharing any (table, bucket),
     deduplicated across tables as bare 16-byte rows — the canon.py
-    candidate shape, one groupBy shuffle + in-array expansion."""
+    candidate shape, one groupBy shuffle + in-array expansion.
+    Over-cap buckets are dropped and, when ``obs`` (a
+    ``pyspark.sql.Observation``) is supplied, counted as
+    ``dropped_buckets`` / ``dropped_nodes`` after the first action."""
     pair_expr = (
         "flatten(transform(ns, x -> "
         "transform(filter(ns, y -> y != x), y -> "
         "struct(x AS q, y AS c))))")
     blocks = (buckets.groupBy("table", "bucket")
               .agg(F.collect_list(id_col).alias("ns"))
-              .where(F.size("ns").between(2, bucket_cap)))
+              .where(F.size("ns") >= 2))
+    if obs is not None:
+        blocks = blocks.observe(
+            obs,
+            F.sum(F.when(F.size("ns") > bucket_cap, 1).otherwise(0))
+             .alias("dropped_buckets"),
+            F.sum(F.when(F.size("ns") > bucket_cap, F.size("ns"))
+                  .otherwise(0)).alias("dropped_nodes"))
+    blocks = blocks.where(F.size("ns") <= bucket_cap)
     return (blocks.select(F.explode(F.expr(pair_expr)).alias("p"))
             .select("p.q", "p.c")
             .dropDuplicates(["q", "c"]))
@@ -98,7 +109,12 @@ def cosine(a, b):
     sq = lambda c: F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
-    return dot / F.sqrt(sq(a) * sq(b))
+    # zero-norm guard: a zero vector would divide 0/0 → NaN, and Spark
+    # orders NaN ABOVE every real double, so one zero-vector candidate
+    # would take rnk=1 for every query it pairs with in rerank_topk.
+    # greatest(·, 1e-12) pins its cosine to 0.0 instead; any oracle SQL
+    # paired with this expression must carry the same guard.
+    return dot / F.sqrt(F.greatest(sq(a) * sq(b), F.lit(1e-12)))
 
 
 def rerank_topk(pairs: DataFrame, vecs: DataFrame,

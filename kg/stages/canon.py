@@ -159,10 +159,15 @@ def lsh_bands(signed: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(banded: DataFrame,
-                    block_cap: int = spec.BLOCK_CAP) -> DataFrame:
+                    block_cap: int = spec.BLOCK_CAP,
+                    obs=None) -> DataFrame:
     """C1c: nodes sharing an LSH bucket, as distinct bare (src, dst)
     int64 ids with src < dst. Oversized buckets (super-common
-    surfaces) are dropped, never silently truncated.
+    surfaces) are dropped — and COUNTED when ``obs`` (a
+    ``pyspark.sql.Observation``) is supplied: after the first action,
+    ``obs.get`` reports ``dropped_buckets`` / ``dropped_nodes`` so
+    recall loss from hot buckets is observable, not silent (the E1
+    metrics discipline; round 2's collect_list rewrite lost this).
 
     Ids only by design: a pair that collides in k bands is emitted k
     times, and the dedup shuffle moves 16-byte rows. Feature arrays
@@ -182,7 +187,15 @@ def candidate_pairs(banded: DataFrame,
         "y -> struct(least(x, y) AS src, greatest(x, y) AS dst))))")
     blocks = (banded.groupBy("band", "bhash")
               .agg(F.collect_list("node").alias("ns"))
-              .where(F.size("ns").between(2, block_cap)))
+              .where(F.size("ns") >= 2))
+    if obs is not None:
+        blocks = blocks.observe(
+            obs,
+            F.sum(F.when(F.size("ns") > block_cap, 1).otherwise(0))
+             .alias("dropped_buckets"),
+            F.sum(F.when(F.size("ns") > block_cap, F.size("ns"))
+                  .otherwise(0)).alias("dropped_nodes"))
+    blocks = blocks.where(F.size("ns") <= block_cap)
     return (blocks.select(F.explode(F.expr(pair_expr)).alias("p"))
             .select("p.src", "p.dst")
             .where(F.col("src") != F.col("dst"))
@@ -211,7 +224,8 @@ def verify_pairs(pairs: DataFrame, feats: DataFrame,
 def near_duplicate_edges(norms: DataFrame,
                          tau: float = spec.TAU_DUP,
                          feature: str = "char",
-                         shingle_w: int = spec.SHINGLE_W) -> DataFrame:
+                         shingle_w: int = spec.SHINGLE_W,
+                         obs=None) -> DataFrame:
     """C1+C2 composed with persist discipline: the feature table feeds
     both the minhash UDF and the verify join, and the banded frame
     feeds both the bucket-size filter and the pair join — without
@@ -220,7 +234,7 @@ def near_duplicate_edges(norms: DataFrame,
     feats = node_features(norms, feature=feature,
                           shingle_w=shingle_w).persist()
     banded = lsh_bands(minhash_signatures(feats)).persist()
-    return verify_pairs(candidate_pairs(banded), feats, tau=tau)
+    return verify_pairs(candidate_pairs(banded, obs=obs), feats, tau=tau)
 
 
 def simhash64(docs: DataFrame, text_col: str = "text",
@@ -251,7 +265,8 @@ def simhash64(docs: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(sims: DataFrame, id_col: str = "doc_id",
                        max_hamming: int = 3, n_blocks: int = 4,
-                       block_cap: int = spec.BLOCK_CAP) -> DataFrame:
+                       block_cap: int = spec.BLOCK_CAP,
+                       obs=None) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ d (Manku,
     Jain & Das Sarma, WWW 2007, single-permutation block variant):
     split the 64-bit signature into ``n_blocks`` blocks — any pair
@@ -264,7 +279,9 @@ def simhash_near_pairs(sims: DataFrame, id_col: str = "doc_id",
     Precision-oriented complement to the minhash path
     (:func:`near_duplicate_edges` is the recall workhorse): wider
     blocks ⇒ fewer false candidates but only a d ≤ n_blocks−1
-    guarantee. Returns (src, dst, hamming), src < dst."""
+    guarantee. Over-cap blocks are dropped — counted via ``obs`` (a
+    ``pyspark.sql.Observation``) when supplied, same contract as
+    :func:`candidate_pairs`. Returns (src, dst, hamming), src < dst."""
     width = 64 // n_blocks
     mask = (1 << width) - 1
     blocks = F.array(*[
@@ -282,7 +299,15 @@ def simhash_near_pairs(sims: DataFrame, id_col: str = "doc_id",
         "bit_count(x.simhash ^ y.simhash) AS hamming))))")
     grouped = (banded.groupBy("blk", "bval")
                .agg(F.collect_list(F.struct("id", "simhash")).alias("ns"))
-               .where(F.size("ns").between(2, block_cap)))
+               .where(F.size("ns") >= 2))
+    if obs is not None:
+        grouped = grouped.observe(
+            obs,
+            F.sum(F.when(F.size("ns") > block_cap, 1).otherwise(0))
+             .alias("dropped_buckets"),
+            F.sum(F.when(F.size("ns") > block_cap, F.size("ns"))
+                  .otherwise(0)).alias("dropped_nodes"))
+    grouped = grouped.where(F.size("ns") <= block_cap)
     return (grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
             .select("p.src", "p.dst", "p.hamming")
             .where((F.col("hamming") <= max_hamming)
@@ -405,9 +430,17 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
 #: distributed hash-to-min path runs — identical output (tested).
 DRIVER_CANON_MAX_NODES = 100_000
 
+#: edge count bound for the same fast path: node count alone doesn't
+#: bound the edge set (100k near-identical norms under block_cap=64 ×
+#: 32 bands can emit ~10⁸ surviving pairs — enough to OOM the driver).
+#: The edge probe collects at most this many +1 rows; one more and the
+#: distributed branch runs instead.
+DRIVER_CANON_MAX_EDGES = 1_000_000
+
 
 def canonicalize_norms(norms: DataFrame, dict_df: DataFrame,
-                       driver_max_nodes: int = DRIVER_CANON_MAX_NODES
+                       driver_max_nodes: int = DRIVER_CANON_MAX_NODES,
+                       driver_max_edges: int = DRIVER_CANON_MAX_EDGES
                        ) -> DataFrame:
     """C1→C4 end-to-end over a distinct ``norm`` column.
 
@@ -430,14 +463,20 @@ def canonicalize_norms(norms: DataFrame, dict_df: DataFrame,
         probe = (signed.select("norm", "node")
                  .limit(driver_max_nodes + 1).collect())
         if len(probe) <= driver_max_nodes:
-            spark = norms.sparkSession
-            edge_rows = edges.select("src", "dst").collect()
-            dict_rows = dict_df.select("norm", "entity").collect()
-            mapping = _name_clusters_driver(
-                [(r["norm"], r["node"]) for r in probe],
-                [(r["src"], r["dst"]) for r in edge_rows],
-                {r["norm"]: r["entity"] for r in dict_rows})
-            return spark.createDataFrame(mapping, "norm string, entity string")
+            # probe the EDGE count too: node count alone doesn't bound
+            # it — a dense near-dup graph can emit ~10⁸ verified pairs
+            # from 100k nodes and OOM the driver on collect()
+            edge_rows = (edges.select("src", "dst")
+                         .limit(driver_max_edges + 1).collect())
+            if len(edge_rows) <= driver_max_edges:
+                spark = norms.sparkSession
+                dict_rows = dict_df.select("norm", "entity").collect()
+                mapping = _name_clusters_driver(
+                    [(r["norm"], r["node"]) for r in probe],
+                    [(r["src"], r["dst"]) for r in edge_rows],
+                    {r["norm"]: r["entity"] for r in dict_rows})
+                return spark.createDataFrame(
+                    mapping, "norm string, entity string")
 
     comps = connected_components(signed.select("node"), edges)
 

@@ -32,8 +32,16 @@ def _adam_step(p, grads, m, v, t, lr=1e-3, b1=0.9, b2=0.999, eps=1e-8):
 def train(
     epochs: int = 12, batch_size: int = 128, lr: float = 1e-3,
     seed: int = spec.MODEL_SEED, n_per_template: int = 120,
+    n_per_cross: int = 120,
 ) -> tuple[dict[str, np.ndarray], float]:
+    """``n_per_cross`` > 0 (the default since round 3) mixes in the
+    cross-turn instances + composite-NA distractors, making the frozen
+    checkpoint cross-turn-aware (VERDICT r2 #6) — the vocabulary is
+    unchanged, so intra-turn behavior retrains on identical features."""
     insts = datagen.training_instances(n_per_template=n_per_template)
+    if n_per_cross > 0:
+        insts = insts + datagen.cross_training_instances(
+            n_per_template=n_per_cross)
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(insts))
     n_val = max(len(insts) // 10, 1)

@@ -22,8 +22,13 @@ WEIGHTS_PATH = os.path.join(os.path.dirname(__file__), "weights_attn.npz")
 def train(
     epochs: int = 10, batch_size: int = 128, lr: float = 1e-3,
     seed: int = spec.MODEL_SEED, n_per_template: int = 120,
+    n_per_cross: int = 120,
 ) -> tuple[dict[str, np.ndarray], float]:
     insts = datagen.training_instances(n_per_template=n_per_template)
+    if n_per_cross > 0:
+        # cross-turn-aware since round 3 — same data as kg.train
+        insts = insts + datagen.cross_training_instances(
+            n_per_template=n_per_cross)
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(insts))
     n_val = max(len(insts) // 10, 1)

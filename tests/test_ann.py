@@ -97,3 +97,20 @@ def test_bucket_cap_drops_degenerate_buckets(spark):
     b = ann.hyperplane_buckets(df, dim=8, n_planes=4, n_tables=2, seed=3)
     assert ann.candidate_pairs(b, bucket_cap=8).count() == 0
     assert ann.candidate_pairs(b, bucket_cap=64).count() == 50 * 49
+
+
+def test_cosine_zero_norm_guard(spark):
+    """ADVICE r2: a zero vector must not score NaN (Spark orders NaN
+    above every real double, so a zero-norm candidate would take
+    rnk=1 for every query). With the greatest(·, 1e-12) guard its
+    cosine is 0.0 and it ranks below any positive match."""
+    rows = [(0, [1.0, 0.0, 0.0]),       # query
+            (1, [0.9, 0.1, 0.0]),       # true neighbor
+            (2, [0.0, 0.0, 0.0])]       # zero vector
+    vecs = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<float>")
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "q long, c long")
+    got = {r["c"]: (r["cos"], r["rnk"])
+           for r in ann.rerank_topk(pairs, vecs, k=2).collect()}
+    assert got[2][0] == 0.0 and not np.isnan(got[2][0])
+    assert got[1][1] == 1 and got[2][1] == 2

@@ -303,3 +303,50 @@ def test_candidate_pairs_stay_linear_on_natural_text(spark):
     n = feats.count()
     n_pairs = canon.candidate_pairs(banded).count()
     assert n_pairs < 8 * n, (n_pairs, n)
+
+
+def test_candidate_pairs_drop_count_observable(spark):
+    """ADVICE r2: over-cap buckets must be droppable WITH an
+    observable count — 70 identical norms under block_cap=64 form one
+    over-cap bucket per band; the Observation reports the drops and
+    the pair set comes back empty."""
+    from pyspark.sql import Observation
+
+    norms = spark.createDataFrame([("acme corp",)] * 70 + [("zzz",)],
+                                  "norm string")
+    feats = canon.node_features(norms)
+    banded = canon.lsh_bands(canon.minhash_signatures(feats))
+    obs = Observation("lsh_drops")
+    pairs = canon.candidate_pairs(banded, block_cap=64, obs=obs)
+    assert pairs.count() == 0          # node_features dedups: 1 hot node
+    # 70 identical norms collapse to ONE node -> no over-cap bucket;
+    # build a real hot bucket from distinct-but-near-identical norms
+    hot = [(f"shared prefix token run variant {i:03d}",)
+           for i in range(70)]
+    feats2 = canon.node_features(
+        spark.createDataFrame(hot, "norm string"))
+    banded2 = canon.lsh_bands(canon.minhash_signatures(feats2))
+    obs2 = Observation("lsh_drops2")
+    pairs2 = canon.candidate_pairs(banded2, block_cap=8, obs=obs2)
+    pairs2.count()
+    got = obs2.get
+    assert got["dropped_buckets"] and got["dropped_buckets"] > 0
+    assert got["dropped_nodes"] >= 9 * got["dropped_buckets"]
+
+
+def test_canonicalize_edge_bound_falls_back_distributed(spark):
+    """ADVICE r2 (medium): the driver C3+C4 fast path must probe the
+    EDGE count, not just nodes — with driver_max_edges=1 a clustered
+    norm set exceeds the bound and the distributed branch runs,
+    producing identical output to the driver path."""
+    rows = [("acme corp",), ("acme corporation",), ("acme corp.",),
+            ("dataquill",), ("dataquill.io",), ("solben",)]
+    norms = spark.createDataFrame(rows, "norm string")
+    dict_df = spark.createDataFrame(
+        [("acme corp", "Acme Corp"), ("dataquill", "Dataquill")],
+        "norm string, entity string")
+    via_driver = canon.canonicalize_norms(norms, dict_df)
+    via_dist = canon.canonicalize_norms(norms, dict_df,
+                                        driver_max_edges=1)
+    assert sorted(map(tuple, via_driver.collect())) \
+        == sorted(map(tuple, via_dist.collect()))

@@ -53,14 +53,20 @@ def test_simhash_word_identical_docs_share_bucket(spark):
     """64-bit simhash: word-identical docs collide; docs over disjoint
     vocabularies do not. Regression: the per-bit ±1 vote sum must be
     SIGNED — a uint64 wrap made every deficit bit read 'positive'
-    and collapsed most docs into simhash -1."""
+    and collapsed most docs into simhash -1. (Bucket histogram built
+    inline from canon.simhash64 — the simhash_buckets contract entry
+    was merged into simhash_near_dups in round 3.)"""
+    from pyspark.sql import functions as F
+
+    from kg.stages import canon
+
     rows = [(0, "alpha beta gamma delta epsilon zeta"),
             (1, "zeta epsilon delta gamma beta alpha"),   # same word set
             (2, "one two three four five six seven")]
-    spark.createDataFrame(rows, "doc_id long, text string") \
-        .write.mode("overwrite").parquet("/tmp/_simhash_docs/documents.parquet")
-    out = contract.Q["simhash_buckets"][0](spark, "/tmp/_simhash_docs") \
-        .collect()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (canon.simhash64(docs)
+           .groupBy("simhash").agg(F.count("*").alias("n_docs"))
+           .collect())
     sizes = sorted(r["n_docs"] for r in out)
     assert sizes == [1, 2]
     assert all(r["simhash"] != -1 for r in out)

@@ -146,3 +146,90 @@ def test_pcnn_forward_shapes_and_grad(n):
         p["W_out"][i, j] += eps
         num = (lp - lm) / (2 * eps)
         assert abs(num - grads["W_out"][i, j]) < 1e-3
+
+
+def test_bpe_merge_table_is_wellformed():
+    """Sentinels are unique PUA chars, appear in no EARLIER pair (the
+    no-cascade-backwards property the scope note relies on), and every
+    pair is exactly two symbols."""
+    from kg import spec
+
+    sentinels = [rep for _, rep in spec.BPE_MERGES]
+    assert len(set(sentinels)) == len(sentinels)
+    assert all(0xE000 <= ord(s) <= 0xF8FF and len(s) == 1
+               for s in sentinels)
+    for i, (pat, rep) in enumerate(spec.BPE_MERGES):
+        assert len(pat) == 2, pat          # two symbols per merge
+        earlier = {r for _, r in spec.BPE_MERGES[:i]}
+        allowed = set("abcdefghijklmnopqrstuvwxyz") | earlier
+        assert set(pat) <= allowed, (i, pat)
+        # a sentinel never appears in an EARLIER pair
+        assert all(rep not in p for p, _ in spec.BPE_MERGES[:i])
+
+
+def test_bpe_symbol_count_matches_spark_and_duckdb(spark):
+    """The contract entry's Spark replace() chain and DuckDB oracle
+    chain must both equal the pure-Python reference rewriting."""
+    import duckdb
+
+    from kg import spec
+    from kg.contract import Q, _bpe_chain_sql
+
+    texts = ["The thin thing rang on",
+             "there is another thing in the engine",
+             "reran the thing again and again",
+             "punctuation, too! ingrained...",
+             "", "th", "the", "the the the"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    want = {i: spec.bpe_symbol_count(t) for i, t in rows}
+
+    import os
+    import tempfile
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(d, "documents.parquet"))
+    got_spark = {r["doc_id"]: r["n_bpe_symbols"]
+                 for r in Q["token_count_bpe_merges"][0](spark, d)
+                 .collect()}
+    assert got_spark == want
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{d}/documents.parquet/*.parquet'")
+    got_duck = dict(con.execute(
+        f"SELECT doc_id, length(replace({_bpe_chain_sql('lower(text)')},"
+        f" ' ', '')) FROM documents").fetchall())
+    assert got_duck == want
+
+
+def test_cross_templates_in_vocab():
+    """CROSS_TEMPLATES must not grow the frozen vocabulary: every
+    token of every part (entities aside) is already induced by
+    TEMPLATES + FILLER_VOCAB, so committed checkpoints keep their
+    token-id mapping."""
+    from kg import spec
+
+    vocab = spec.vocabulary()
+    for rel, (st, ot, tpls) in spec.CROSS_TEMPLATES.items():
+        assert rel in spec.TEMPLATES
+        for pa, pb in tpls:
+            assert "{A}" in pa and "{B}" not in pa
+            assert "{B}" in pb and "{A}" not in pb
+            clean = (pa + " " + pb).replace("{A}", " ").replace("{B}", " ")
+            for tok in spec.tokenize(clean):
+                assert tok.lower() in vocab, (rel, tok)
+
+
+def test_cross_training_instances_shape():
+    """Positives carry the template label; distractor NA pairs exist;
+    every instance uses the joined-text construction (tail position
+    past the head turn's tokens)."""
+    from kg import datagen, spec
+
+    insts = datagen.cross_training_instances(n_per_template=5,
+                                             n_distractor=10)
+    labels = {lab for _, _, _, lab in insts}
+    assert spec.REL_TO_ID[spec.NA_RELATION] in labels
+    assert len(labels) == len(spec.RELATIONS)  # every rel represented
+    assert all(hp < tp for _, hp, tp, _ in insts)

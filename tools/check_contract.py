@@ -29,6 +29,7 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
     join_left_outer). Harvest rows via ``.df()``/``toPandas()`` so the
     engine's type mapping, not Python's, decides the tag."""
     import datetime as dt
+    import decimal
 
     import numpy as np
     import pandas as pd
@@ -45,12 +46,17 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
             return (f"t:{ts.date().isoformat()}" if ts == ts.normalize()
                     else f"t:{ts.isoformat()}")
         if isinstance(v, (float, np.floating)):
-            if np.isnan(v):
-                return "f:nan"
+            # frame_rows pre-converts NaN to None; keep a tag anyway
+            # in case a raw float path ever reaches here
+            return "f:nan" if np.isnan(v) else f"f:{float(v):.6g}"
+        if isinstance(v, decimal.Decimal):
+            # Spark DECIMAL surfaces as decimal.Decimal while DuckDB's
+            # .df() widens to float64 — tag both as f: so a
+            # decimal-returning pair compares symmetrically
             return f"f:{float(v):.6g}"
         if isinstance(v, (int, np.integer)):
             return f"i:{int(v)}"
-        if v is None or (isinstance(v, float) and np.isnan(v)):
+        if v is None:
             return "null"
         return f"s:{v}"
 
