@@ -147,6 +147,26 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
 
     timed("kg_extract_score", extract_score)
 
+    # --- E3b: join THROUGH the ×100-hot conv_id under AQE skew-join
+    # (VERDICT r2 #7). Dim side pre-materialized (bare exchange) and
+    # shuffle partitions raised so the hot conversation is
+    # PARTITION-level skew — both preconditions skew.aqe_skew_conf
+    # documents; the plan shape is pinned in test_plans.py.
+    from kg.stages import skew
+
+    conv_stats = (spark.read.parquet(t_path).groupBy("conv_id")
+                  .agg(F.count("*").alias("n_turns")).localCheckpoint())
+
+    def skew_join():
+        with skew.aqe_skew_conf(spark, shuffle_partitions=512):
+            (skew.hot_key_join(spark.read.parquet(t_path), conv_stats)
+             .select("conv_id", "turn_idx", "text",
+                     (F.col("turn_idx") / F.col("n_turns"))
+                     .alias("rel_pos"))
+             .write.mode("overwrite").format("noop").save())
+
+    timed("skew_join_conv", skew_join)
+
     # --- representative relational operators at sf ------------------
     for name in ("agg_basic", "join_inner", "window_rank",
                  "join_range_window", "topk", "knn_cosine_bruteforce",

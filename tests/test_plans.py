@@ -57,3 +57,38 @@ def test_range_join_keeps_equi_prefix(spark):
     plan = _plan(contract.Q["join_range_window"][0](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hot_key_join_triggers_aqe_skew_split(spark):
+    """E3b plan pin (VERDICT r2 #7): a join through a ×100-hot key
+    under kg.stages.skew.aqe_skew_conf must come back from AQE with
+    the skew split applied — SortMergeJoin(skew=true) over an
+    'AQEShuffleRead skewed'. Guards both preconditions the helper
+    documents (bare-exchange dim side, partition-level skew)."""
+    from pyspark.sql import functions as F
+
+    from kg.stages import skew
+
+    pad = F.sha2(F.col("id").cast("string"), 512)
+    hot = spark.range(60000).select(
+        F.lit("c_hot").alias("conv_id"), F.col("id").alias("turn_idx"),
+        pad.alias("pad"))
+    cold = spark.range(8000).select(
+        F.concat(F.lit("c"), (F.col("id") % 40).cast("string"))
+         .alias("conv_id"),
+        F.col("id").alias("turn_idx"), pad.alias("pad"))
+    facts = hot.unionByName(cold)
+    stats = (facts.groupBy("conv_id")
+             .agg(F.count("*").alias("n_turns")).localCheckpoint())
+    with skew.aqe_skew_conf(spark, threshold_bytes=4096,
+                            advisory_bytes=2048, shuffle_partitions=8):
+        out = skew.hot_key_join(facts, stats).select(
+            "conv_id", "turn_idx", "pad",
+            (F.col("turn_idx") / F.col("n_turns")).alias("rel_pos"))
+        # collect() (not count/write — those spawn a SEPARATE query
+        # execution) so THIS DataFrame's adaptive plan finalizes
+        assert len(out.collect()) == 68000
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+    assert "AQEShuffleRead skewed" in plan
