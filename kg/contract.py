@@ -991,20 +991,52 @@ def kg_adjacency(spark, sf):
             .orderBy(F.desc("out_degree"), F.asc("subj")).limit(50))
 
 
-@q("minhash_lsh_dedup", None)
+@q("minhash_lsh_dedup", """
+WITH t AS (SELECT DISTINCT lower(text) AS norm FROM documents),
+w AS (SELECT norm, string_split(norm, ' ') AS toks FROM t),
+s AS (SELECT norm, list_distinct(
+          [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS ws
+      FROM w),
+p AS (SELECT md5(a.norm) AS fa, md5(b.norm) AS fb,
+             round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                   / (len(a.ws) + len(b.ws)
+                      - len(list_intersect(a.ws, b.ws))), 4) AS sim
+      FROM s a JOIN s b ON a.norm < b.norm
+      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+            / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+            >= 0.5)
+SELECT least(fa, fb) AS src_fp, greatest(fa, fb) AS dst_fp, sim FROM p
+""")
 def minhash_lsh_dedup(spark, sf):
     """MinHash+LSH near-dup edges over documents (the scale path for
-    dedup: banding keeps candidates O(n·near_dups), never O(n²)).
-    Word-shingle features: char-grams over a shared vocabulary put
-    unrelated docs at Jaccard 0.3–0.4 and degenerate banding to
-    near-all-pairs (round-1: 673k pairs / 65s — 83% of the bench);
-    3-word shingles put unrelated docs at ≈0. Exact recall vs
-    brute-force all-pairs is pinned by test_canon.py."""
+    dedup: banding keeps candidates O(n·near_dups), never O(n²)) —
+    ORACLE-PAIRED since round 3 against DuckDB brute-force all-pairs
+    word-shingle Jaccard. Sound here because every true near-dup pair
+    in the fixture sits at Jaccard ≥ 0.9, where the b=32/r=4 banding
+    miss probability is (1−0.9⁴)³² ≈ 1e-15 — the LSH edge set IS the
+    brute-force edge set (same exactness test_canon.py pins at
+    sf0.001; on a corpus with pairs near τ this would honestly be
+    rows-only). Internal node ids are xxhash64; the OUTPUT keys are
+    md5(norm) fingerprints both engines can compute.
+
+    Word shingles, not char-grams: char-grams over a shared
+    vocabulary put unrelated docs at Jaccard 0.3–0.4 and degenerate
+    banding to near-all-pairs (round-1: 673k pairs / 65 s — 83% of
+    the bench); 3-word shingles put unrelated docs at ≈0."""
     from kg.stages import canon
 
     d = _t(spark, sf, "documents").select(F.lower("text").alias("norm"))
-    return canon.near_duplicate_edges(d, tau=0.5, feature="word") \
-        .select("src", "dst", F.round("sim", 4).alias("sim"))
+    edges = canon.near_duplicate_edges(d, tau=0.5, feature="word")
+    fp = (d.distinct()
+          .select(F.xxhash64("norm").alias("node"),
+                  F.md5("norm").alias("fp")))
+    fa = fp.select(F.col("node").alias("src"), F.col("fp").alias("fa"))
+    fb = fp.select(F.col("node").alias("dst"), F.col("fp").alias("fb"))
+    return (edges.join(fa, "src").join(fb, "dst")
+            .select(F.least("fa", "fb").alias("src_fp"),
+                    F.greatest("fa", "fb").alias("dst_fp"),
+                    F.round("sim", 4).alias("sim")))
 
 
 @q("simhash_near_dups", None)
