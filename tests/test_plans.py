@@ -92,3 +92,17 @@ def test_hot_key_join_triggers_aqe_skew_split(spark):
     assert "isFinalPlan=true" in plan
     assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
     assert "AQEShuffleRead skewed" in plan
+
+
+def test_extract_score_is_shuffle_free(spark):
+    """The fused B1–B5 path (tokenize → mention scan → pair → score →
+    exact-link inside ONE mapInPandas) must stay map-only: an Exchange
+    before scoring would shuffle the wide text/token columns and was
+    never needed — pin it (PLANS.md 'Pipeline dataflow')."""
+    from kg import datagen, pipeline, schemas
+
+    pdf, _ = datagen.generate(n_conversations=10, seed=3)
+    t0 = spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+    plan = _plan(pipeline.extract_and_score(spark, t0))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan

@@ -233,3 +233,23 @@ def test_cross_training_instances_shape():
     assert spec.REL_TO_ID[spec.NA_RELATION] in labels
     assert len(labels) == len(spec.RELATIONS)  # every rel represented
     assert all(hp < tp for _, hp, tp, _ in insts)
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz ETHING.,!? ",
+               max_size=120))
+@settings(max_examples=80, deadline=None)
+def test_bpe_rewriting_duckdb_property(text):
+    """Property: the DuckDB replace() chain equals the pure-Python
+    reference on arbitrary text (cases/punct/spaces included) — the
+    cross-engine semantics of the merge rewriting don't depend on the
+    fixture."""
+    import duckdb
+
+    from kg import spec
+    from kg.contract import _bpe_chain_sql
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT length(replace({_bpe_chain_sql('lower(?)')}, ' ', ''))",
+        [text]).fetchone()[0]
+    assert got == spec.bpe_symbol_count(text)
