@@ -659,7 +659,9 @@ SELECT doc_id,
            AS n_bpe_symbols,
        length(replace(lower(text), ' ', ''))
        - length(replace({_bpe_chain_sql('lower(text)')}, ' ', ''))
-           AS n_merges
+           AS n_merges,
+       length(replace({_bpe_chain_sql('lower(text)')}, ' ', ''))
+           AS n_bpe_symbols_udf
 FROM documents
 """)
 def token_count_bpe_merges(spark, sf):
@@ -672,8 +674,19 @@ def token_count_bpe_merges(spark, sf):
     whole-stage codegen — no UDF, pushable); the oracle runs the
     IDENTICAL chain in DuckDB, and kg.spec.bpe_symbol_count pins both
     against pure Python in pytest. token_count_bpe (above) keeps the
-    pre-tokenizer counts as the sanity columns."""
+    pre-tokenizer counts as the sanity columns.
+
+    The n_bpe_symbols_udf column is the SCALE path certified in the
+    same hash: kg.stages.bpe runs TRUE byte-pair encoding (lowest-rank
+    adjacent-pair merge loop with a per-batch unique-word cache) in an
+    Arrow-batched mapInPandas over a broadcast rank table — the shape
+    that holds at 50k learned merges, where a replace() chain cannot
+    compile. On the frozen table true BPE provably equals the chain
+    (kg/spec.py scope note), so the oracle emits the chain expression
+    for this column too, and the driver's value hash pins
+    UDF ≡ JVM chain ≡ DuckDB on every document."""
     from kg import spec
+    from kg.stages import bpe
 
     merged = F.lower(F.col("text"))
     for pat, rep in spec.BPE_MERGES:
@@ -681,9 +694,12 @@ def token_count_bpe_merges(spark, sf):
     n_sym = F.length(F.replace(merged, F.lit(" "), F.lit("")))
     n_base = F.length(F.replace(F.lower(F.col("text")),
                                 F.lit(" "), F.lit("")))
-    return (_t(spark, sf, "documents")
-            .select("doc_id", n_sym.alias("n_bpe_symbols"),
-                    (n_base - n_sym).alias("n_merges")))
+    docs = bpe.with_bpe_symbol_count(
+        _t(spark, sf, "documents").select("doc_id", "text"),
+        "text", "n_bpe_symbols_udf")
+    return docs.select("doc_id", n_sym.alias("n_bpe_symbols"),
+                       (n_base - n_sym).alias("n_merges"),
+                       "n_bpe_symbols_udf")
 
 
 @q("doc_fingerprint", """

@@ -111,6 +111,29 @@ BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
+def merge_ranks(table: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+    """Re-express a (pattern, sentinel) merge table as TRUE-BPE pair
+    ranks over concatenation symbols: each 2-symbol pattern becomes
+    the pair of its sentinel-expanded sides, ranked by table order —
+    e.g. ("\\ue000e", …) after ("th", "\\ue000") becomes ("th", "e").
+    Sentinel references are resolved recursively in either direction,
+    so chained tables (spec.BPE_MERGES) and forward-referencing test
+    tables both map. Consumed by kg.stages.bpe.encode_word."""
+    rep_pat = {rep: pat for pat, rep in table}
+
+    def expand(sym: str) -> str:
+        pat = rep_pat.get(sym)
+        if pat is None:
+            return sym
+        return "".join(expand(c) for c in pat)
+
+    out: dict[tuple[str, str], int] = {}
+    for rank, (pat, _) in enumerate(table):
+        assert len(pat) == 2, pat
+        out[(expand(pat[0]), expand(pat[1]))] = rank
+    return out
+
+
 def bpe_symbol_count(text: str) -> int:
     """Reference (pure-Python) merged-symbol count for a lowercased
     text: rank-ordered exhaustive rewriting, spaces excluded. The
