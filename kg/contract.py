@@ -1043,10 +1043,12 @@ def minhash_lsh_dedup(spark, sf):
     from kg.stages import canon
 
     d = _t(spark, sf, "documents").select(F.lower("text").alias("norm"))
-    edges = canon.near_duplicate_edges(d, tau=0.5, feature="word")
-    fp = (d.distinct()
-          .select(F.xxhash64("norm").alias("node"),
-                  F.md5("norm").alias("fp")))
+    edges, feats = canon.near_duplicate_edges(d, tau=0.5, feature="word",
+                                              return_feats=True)
+    # node → fingerprint from the PERSISTED distinct-norm feature
+    # table — a second full scan+distinct of documents would be
+    # charged to the benched dedup time for nothing.
+    fp = feats.select("node", F.md5("norm").alias("fp"))
     fa = fp.select(F.col("node").alias("src"), F.col("fp").alias("fa"))
     fb = fp.select(F.col("node").alias("dst"), F.col("fp").alias("fb"))
     return (edges.join(fa, "src").join(fb, "dst")

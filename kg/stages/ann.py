@@ -25,6 +25,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from kg.stages import canon
+
 #: buckets larger than this are dropped from the self-join (and
 #: counted); a degenerate bucket (e.g. the all-zeros region) would
 #: otherwise reintroduce the quadratic pair space.
@@ -89,13 +91,7 @@ def candidate_pairs(buckets: DataFrame, id_col: str = "vec_id",
     blocks = (buckets.groupBy("table", "bucket")
               .agg(F.collect_list(id_col).alias("ns"))
               .where(F.size("ns") >= 2))
-    if obs is not None:
-        blocks = blocks.observe(
-            obs,
-            F.sum(F.when(F.size("ns") > bucket_cap, 1).otherwise(0))
-             .alias("dropped_buckets"),
-            F.sum(F.when(F.size("ns") > bucket_cap, F.size("ns"))
-                  .otherwise(0)).alias("dropped_nodes"))
+    blocks = canon.observe_dropped(blocks, obs, bucket_cap)
     blocks = blocks.where(F.size("ns") <= bucket_cap)
     return (blocks.select(F.explode(F.expr(pair_expr)).alias("p"))
             .select("p.q", "p.c")

@@ -73,10 +73,15 @@ def bpe_count_series(texts: pd.Series,
     """Merged-symbol count per text (spaces excluded, lowercased —
     the same normalization as spec.bpe_symbol_count). Unique-word
     cache per batch: each distinct word is encoded once, then counts
-    are recombined per row — the standard tokenizer amortization."""
+    are recombined per row — the standard tokenizer amortization.
+    NULL text propagates as NULL (nullable Int64), matching what the
+    JVM replace() chain and the DuckDB oracle do with NULL — a
+    nullable corpus must not kill the task."""
     cache: dict[str, int] = {}
 
-    def count_one(text: str) -> int:
+    def count_one(text) -> int | None:
+        if not isinstance(text, str):
+            return None
         total = 0
         for w in text.lower().split(" "):
             if not w:
@@ -88,7 +93,7 @@ def bpe_count_series(texts: pd.Series,
             total += n
         return total
 
-    return texts.map(count_one).astype("int64")
+    return texts.map(count_one).astype("Int64")
 
 
 def with_bpe_symbol_count(df, text_col: str, out_col: str,

@@ -69,6 +69,26 @@ def with_ngrams(df: DataFrame, norm_col: str, out_col: str) -> DataFrame:
         out_col, F.expr(_NGRAMS_SQL.format(p=padded, n=spec.CHAR_NGRAM)))
 
 
+def observe_dropped(blocks: DataFrame, obs, cap: int) -> DataFrame:
+    """E1 observability for every capped blocking path (minhash bands,
+    simhash blocks, ANN buckets — one definition, three call sites):
+    `dropped_buckets` = over-cap buckets, `dropped_nodes` = node SLOTS
+    inside them, summed across bands/blocks/tables — a node dropped in
+    k buckets counts k times, so this is an UPPER BOUND on the
+    distinct-node recall exposure, not a distinct count (computing
+    distinct ids here would cost an extra shuffle on the hot path).
+    No-op when ``obs`` is None. ``blocks`` must carry the ``ns``
+    collect_list column."""
+    if obs is None:
+        return blocks
+    return blocks.observe(
+        obs,
+        F.sum(F.when(F.size("ns") > cap, 1).otherwise(0))
+         .alias("dropped_buckets"),
+        F.sum(F.when(F.size("ns") > cap, F.size("ns"))
+              .otherwise(0)).alias("dropped_nodes"))
+
+
 def node_features(norms: DataFrame, feature: str = "char",
                   shingle_w: int = spec.SHINGLE_W) -> DataFrame:
     """C1a: distinct ``norm`` column → (node, norm, f: array<long>) —
@@ -188,13 +208,7 @@ def candidate_pairs(banded: DataFrame,
     blocks = (banded.groupBy("band", "bhash")
               .agg(F.collect_list("node").alias("ns"))
               .where(F.size("ns") >= 2))
-    if obs is not None:
-        blocks = blocks.observe(
-            obs,
-            F.sum(F.when(F.size("ns") > block_cap, 1).otherwise(0))
-             .alias("dropped_buckets"),
-            F.sum(F.when(F.size("ns") > block_cap, F.size("ns"))
-                  .otherwise(0)).alias("dropped_nodes"))
+    blocks = observe_dropped(blocks, obs, block_cap)
     blocks = blocks.where(F.size("ns") <= block_cap)
     return (blocks.select(F.explode(F.expr(pair_expr)).alias("p"))
             .select("p.src", "p.dst")
@@ -225,16 +239,25 @@ def near_duplicate_edges(norms: DataFrame,
                          tau: float = spec.TAU_DUP,
                          feature: str = "char",
                          shingle_w: int = spec.SHINGLE_W,
-                         obs=None) -> DataFrame:
+                         obs=None,
+                         return_feats: bool = False):
     """C1+C2 composed with persist discipline: the feature table feeds
     both the minhash UDF and the verify join, and the banded frame
     feeds both the bucket-size filter and the pair join — without
     persistence each would recompute. Returns (src, dst, sim) with
-    src < dst; node = xxhash64(norm)."""
+    src < dst; node = xxhash64(norm).
+
+    ``return_feats=True`` additionally returns the persisted
+    (node, norm, f) table as ``(edges, feats)`` so callers needing a
+    node → norm map (e.g. fingerprint output keys) reuse the cached
+    distinct scan instead of re-reading the corpus."""
     feats = node_features(norms, feature=feature,
                           shingle_w=shingle_w).persist()
     banded = lsh_bands(minhash_signatures(feats)).persist()
-    return verify_pairs(candidate_pairs(banded, obs=obs), feats, tau=tau)
+    edges = verify_pairs(candidate_pairs(banded, obs=obs), feats, tau=tau)
+    if return_feats:
+        return edges, feats
+    return edges
 
 
 def simhash64(docs: DataFrame, text_col: str = "text",
@@ -300,13 +323,7 @@ def simhash_near_pairs(sims: DataFrame, id_col: str = "doc_id",
     grouped = (banded.groupBy("blk", "bval")
                .agg(F.collect_list(F.struct("id", "simhash")).alias("ns"))
                .where(F.size("ns") >= 2))
-    if obs is not None:
-        grouped = grouped.observe(
-            obs,
-            F.sum(F.when(F.size("ns") > block_cap, 1).otherwise(0))
-             .alias("dropped_buckets"),
-            F.sum(F.when(F.size("ns") > block_cap, F.size("ns"))
-                  .otherwise(0)).alias("dropped_nodes"))
+    grouped = observe_dropped(grouped, obs, block_cap)
     grouped = grouped.where(F.size("ns") <= block_cap)
     return (grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
             .select("p.src", "p.dst", "p.hamming")
@@ -316,7 +333,7 @@ def simhash_near_pairs(sims: DataFrame, id_col: str = "doc_id",
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 64) -> DataFrame:
     """C3: hash-to-min label propagation to a fixpoint.
 
     ``nodes``: (node) — every vertex, including singletons.
@@ -352,6 +369,17 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Silent truncation would return WRONG labels (stale
+        # components) and surface only as a downstream mismatch.
+        # Converged-early costs nothing, so the default is generous
+        # (64 ≥ any plausible entity-cluster diameter); a graph that
+        # genuinely exceeds it should switch to the O(log²)-round
+        # star variant, not get a quietly wrong answer.
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} "
+            "rounds (graph diameter exceeds max_iter); raise "
+            "max_iter or use connected_components_star")
     return labels
 
 
@@ -415,6 +443,11 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
         if cur == prev:
             break
         prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star: edge multiset not stable "
+            f"after {max_iter} large/small-star rounds — wrong "
+            "labels would follow; raise max_iter")
     # at fixpoint every node points directly at its component minimum
     labels = e.select(F.col("src").alias("node"),
                       F.col("dst").alias("component"))

@@ -65,14 +65,29 @@ def test_lowest_rank_wins_not_leftmost():
     assert bpe.encode_word("abc", ranks) == ("a", "bc")
 
 
-def test_unique_word_cache_counts(spark):
+def test_unique_word_cache_counts():
     """Batch path: repeated words hit the cache; counts match the
-    per-word reference; empty strings and runs of spaces are safe."""
+    per-word reference; empty strings, runs of spaces, and NULLs are
+    safe (NULL text → NULL count, like the chain/oracle)."""
     ranks = spec.merge_ranks(spec.BPE_MERGES)
     texts = pd.Series(["the thing the thing", "", "   ", "on er an"])
     got = bpe.bpe_count_series(texts, ranks)
     assert list(got) == [spec.bpe_symbol_count(t) for t in texts]
-    assert got.dtype == "int64"
+    assert got.dtype == "Int64"
+    withnull = bpe.bpe_count_series(pd.Series(["the", None]), ranks)
+    assert withnull.iloc[0] == 1
+    assert pd.isna(withnull.iloc[1])
+
+
+def test_null_text_propagates_in_spark(spark):
+    """A nullable corpus must not kill the mapInPandas task: NULL in,
+    NULL out — exactly what the JVM chain and DuckDB produce."""
+    df = spark.createDataFrame([(1, "the"), (2, None)],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r["n"]
+            for r in bpe.with_bpe_symbol_count(df, "text", "n").collect()}
+    assert rows[1] == 1
+    assert rows[2] is None
 
 
 def test_with_bpe_symbol_count_matches_jvm_chain(spark):
