@@ -1202,6 +1202,36 @@ def approx_distinct(spark, sf):
                  F.countDistinct("l_partkey").alias("exact_parts")))
 
 
+@q("incremental_lsh_dedup", None)
+def incremental_lsh_dedup(spark, sf):
+    """Day-2 dedup: the corpus (doc_id < 300) is an append-only LSH
+    index (feats + band rows, built once); the ingest batch
+    (doc_id ≥ 300) is deduped against it AND itself without rescanning
+    the corpus — the index side is consumed through a broadcast
+    semi-join on the batch's bucket keys (kg/stages/incremental.py).
+    Tail slot (pytest evidence): test_incremental.py pins EXACT
+    split-equivalence against the one-shot near_duplicate_edges path,
+    whose in-window entry minhash_lsh_dedup is oracle-paired against
+    DuckDB brute force — the equivalence chain is the oracle."""
+    from kg.stages import incremental
+
+    d = _t(spark, sf, "documents").select("doc_id",
+                                          F.lower("text").alias("norm"))
+    old = d.where("doc_id < 300").select("norm")
+    new = d.where("doc_id >= 300").select("norm")
+    feats, bands = incremental.build_dedup_index(old, feature="word")
+    edges, _, _ = incremental.incremental_near_dup_edges(
+        new, feats, bands, tau=0.5, feature="word")
+    fp = (d.select(F.xxhash64("norm").alias("node"),
+                   F.md5("norm").alias("fp")).distinct())
+    fa = fp.select(F.col("node").alias("src"), F.col("fp").alias("fa"))
+    fb = fp.select(F.col("node").alias("dst"), F.col("fp").alias("fb"))
+    return (edges.join(fa, "src").join(fb, "dst")
+            .select(F.least("fa", "fb").alias("src_fp"),
+                    F.greatest("fa", "fb").alias("dst_fp"),
+                    F.round("sim", 4).alias("sim")))
+
+
 def queries():
     return {name: fn for name, (fn, _) in Q.items()}
 

@@ -1,0 +1,92 @@
+"""Incremental dedup (kg/stages/incremental.py): split-equivalence vs
+the one-shot path, append-only index semantics, re-ingest behavior,
+and the no-index-shuffle plan."""
+from pyspark.sql import functions as F
+
+from kg.stages import canon, incremental
+
+
+def _norms(spark, pred=None):
+    d = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+         .select("doc_id", F.lower("text").alias("norm")))
+    if pred is not None:
+        d = d.where(pred)
+    return d.select("norm")
+
+
+def _edge_set(df):
+    return {(r["src"], r["dst"], round(r["sim"], 6)) for r in df.collect()}
+
+
+def test_split_equivalence(spark):
+    """index(old) + incremental(new) reproduces the one-shot edges
+    EXACTLY: old-old edges come from the index build batch, every edge
+    touching a new node comes from the incremental call, nothing is
+    missed or invented."""
+    full = _edge_set(canon.near_duplicate_edges(
+        _norms(spark), tau=0.5, feature="word"))
+
+    old = _norms(spark, "doc_id < 150")
+    new = _norms(spark, "doc_id >= 150")
+    old_edges = canon.near_duplicate_edges(old, tau=0.5, feature="word")
+    feats, bands = incremental.build_dedup_index(old, feature="word")
+    inc_edges, _, _ = incremental.incremental_near_dup_edges(
+        new, feats, bands, tau=0.5, feature="word")
+
+    got = _edge_set(old_edges) | _edge_set(inc_edges)
+    assert got == full
+    # the split actually exercises the cross path: at least one edge
+    # spans the boundary (fixture near-dup groups span doc_id ranges)
+    old_nodes = {r["node"] for r in feats.select("node").collect()}
+    spans = [e for e in _edge_set(inc_edges)
+             if (e[0] in old_nodes) != (e[1] in old_nodes)]
+    assert spans, "split produced no cross-boundary near-dup pair"
+
+
+def test_append_then_empty_batch(spark):
+    """After appending the batch's rows, a rerun of the SAME batch
+    (now fully re-ingested) is anti-joined to nothing: zero edges,
+    zero index growth — idempotent commit."""
+    old = _norms(spark, "doc_id < 150")
+    new = _norms(spark, "doc_id >= 150")
+    feats, bands = incremental.build_dedup_index(old, feature="word")
+    _, new_feats, new_bands = incremental.incremental_near_dup_edges(
+        new, feats, bands, tau=0.5, feature="word")
+    feats2 = feats.unionByName(new_feats)
+    bands2 = bands.unionByName(new_bands)
+
+    edges, nf, nb = incremental.incremental_near_dup_edges(
+        new, feats2, bands2, tau=0.5, feature="word")
+    assert edges.isEmpty()
+    assert nf.isEmpty() and nb.isEmpty()
+
+
+def test_index_side_never_shuffles(spark):
+    """The index is consumed through a broadcast hash join on the
+    batch's key set — no Exchange on the index-bands scan side before
+    the join (the O(corpus) shuffle this module exists to avoid)."""
+    old = _norms(spark, "doc_id < 150")
+    new = _norms(spark, "doc_id >= 150")
+    feats, bands = incremental.build_dedup_index(old, feature="word")
+    edges, _, _ = incremental.incremental_near_dup_edges(
+        new, feats, bands, tau=0.5, feature="word")
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_singleton_buckets_matchable(spark):
+    """A corpus document alone in its buckets (no near-dup among the
+    old batch) must still be FINDABLE by a new near-duplicate — the
+    reason build_dedup_index keeps singleton bucket rows."""
+    sc_df = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(t,) for t in rows], "norm string")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    old = sc_df([base, "totally different words here nothing shared"])
+    # old batch has NO internal near-dups
+    assert canon.near_duplicate_edges(old, tau=0.5,
+                                      feature="word").isEmpty()
+    feats, bands = incremental.build_dedup_index(old, feature="word")
+    new = sc_df([base + " lambda"])  # near-dup of the singleton doc
+    edges, _, _ = incremental.incremental_near_dup_edges(
+        new, feats, bands, tau=0.5, feature="word")
+    assert edges.count() == 1
