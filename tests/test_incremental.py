@@ -18,16 +18,21 @@ def _edge_set(df):
     return {(r["src"], r["dst"], round(r["sim"], 6)) for r in df.collect()}
 
 
-def test_split_equivalence(spark):
+import pytest
+
+
+@pytest.mark.parametrize("split", [40, 150, 280])
+def test_split_equivalence(spark, split):
     """index(old) + incremental(new) reproduces the one-shot edges
-    EXACTLY: old-old edges come from the index build batch, every edge
+    EXACTLY at several split points (small index / balanced / small
+    batch): old-old edges come from the index build batch, every edge
     touching a new node comes from the incremental call, nothing is
     missed or invented."""
     full = _edge_set(canon.near_duplicate_edges(
         _norms(spark), tau=0.5, feature="word"))
 
-    old = _norms(spark, "doc_id < 150")
-    new = _norms(spark, "doc_id >= 150")
+    old = _norms(spark, f"doc_id < {split}")
+    new = _norms(spark, f"doc_id >= {split}")
     old_edges = canon.near_duplicate_edges(old, tau=0.5, feature="word")
     feats, bands = incremental.build_dedup_index(old, feature="word")
     inc_edges, _, _ = incremental.incremental_near_dup_edges(
