@@ -177,6 +177,31 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         timed(name, lambda fn=fn: fn(spark, sf_dir)
               .write.mode("overwrite").format("noop").save())
 
+    # --- day-2 dedup: index pre-materialized to parquet OUTSIDE the
+    # timed region (a real deployment reads a stored index); the
+    # timed part is ingest-batch dedup only — the O(batch) query the
+    # incremental module exists for.
+    from kg.stages import incremental
+
+    d = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+         .select("doc_id", F.lower("text").alias("norm")))
+    split = int(d.count() * 0.9)
+    idx_feats, idx_bands = incremental.build_dedup_index(
+        d.where(F.col("doc_id") < split).select("norm"), feature="word")
+    fdir = os.path.join(".bench_data", "_dedup_idx_feats")
+    bdir = os.path.join(".bench_data", "_dedup_idx_bands")
+    idx_feats.write.mode("overwrite").parquet(fdir)
+    idx_bands.write.mode("overwrite").parquet(bdir)
+
+    def inc_dedup():
+        edges, _, _ = incremental.incremental_near_dup_edges(
+            d.where(F.col("doc_id") >= split).select("norm"),
+            spark.read.parquet(fdir), spark.read.parquet(bdir),
+            tau=0.5, feature="word")
+        edges.write.mode("overwrite").format("noop").save()
+
+    timed("incremental_lsh_dedup", inc_dedup)
+
     spark.stop()
     tput = n_turns / timings["kg_e2e_pipeline"]
     return {"cpus": cpus, "n_turns": n_turns, "timings": timings,

@@ -1204,22 +1204,29 @@ def approx_distinct(spark, sf):
 
 @q("incremental_lsh_dedup", None)
 def incremental_lsh_dedup(spark, sf):
-    """Day-2 dedup: the corpus (doc_id < 300) is an append-only LSH
-    index (feats + band rows, built once); the ingest batch
-    (doc_id ≥ 300) is deduped against it AND itself without rescanning
-    the corpus — the index side is consumed through a broadcast
-    semi-join on the batch's bucket keys (kg/stages/incremental.py).
-    Tail slot (pytest evidence): test_incremental.py pins EXACT
-    split-equivalence against the one-shot near_duplicate_edges path,
-    whose in-window entry minhash_lsh_dedup is oracle-paired against
-    DuckDB brute force — the equivalence chain is the oracle."""
+    """Day-2 dedup: the first 90% of documents are an append-only LSH
+    index (feats + band rows, built once); the last-10% ingest batch
+    is deduped against it AND itself without rescanning the corpus —
+    the index side is consumed through a broadcast semi-join on the
+    batch's bucket keys (kg/stages/incremental.py). The 90/10 split
+    is count-relative so the batch stays the SMALL side at every sf
+    (the regime the operator exists for). Tail slot (pytest
+    evidence): test_incremental.py pins EXACT split-equivalence
+    against the one-shot near_duplicate_edges path, whose in-window
+    entry minhash_lsh_dedup is oracle-paired against DuckDB brute
+    force — the equivalence chain is the oracle."""
     from kg.stages import incremental
 
     d = _t(spark, sf, "documents").select("doc_id",
                                           F.lower("text").alias("norm"))
-    old = d.where("doc_id < 300").select("norm")
-    new = d.where("doc_id >= 300").select("norm")
+    split = int(d.count() * 0.9)
+    old = d.where(F.col("doc_id") < split).select("norm")
+    new = d.where(F.col("doc_id") >= split).select("norm")
+    # The index is consumed by three plan branches (anti-join node
+    # set, touched-bucket join, verify features); persist stands in
+    # for the stored table a real day-2 deployment reads.
     feats, bands = incremental.build_dedup_index(old, feature="word")
+    feats, bands = feats.persist(), bands.persist()
     edges, _, _ = incremental.incremental_near_dup_edges(
         new, feats, bands, tau=0.5, feature="word")
     fp = (d.select(F.xxhash64("norm").alias("node"),

@@ -79,6 +79,27 @@ def test_index_side_never_shuffles(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_empty_index_and_empty_batch(spark):
+    """Degenerate regimes: an empty index reduces the incremental call
+    to pure batch-self dedup (== one-shot on the batch); an empty
+    batch yields no edges and no appends."""
+    some = _norms(spark, "doc_id < 100")
+    none = _norms(spark, "doc_id < 0")
+    feats0, bands0 = incremental.build_dedup_index(none, feature="word")
+
+    edges, nf, nb = incremental.incremental_near_dup_edges(
+        some, feats0, bands0, tau=0.5, feature="word")
+    want = _edge_set(canon.near_duplicate_edges(some, tau=0.5,
+                                                feature="word"))
+    assert _edge_set(edges) == want
+    assert nf.count() > 0
+
+    feats1, bands1 = incremental.build_dedup_index(some, feature="word")
+    edges2, nf2, nb2 = incremental.incremental_near_dup_edges(
+        none, feats1, bands1, tau=0.5, feature="word")
+    assert edges2.isEmpty() and nf2.isEmpty() and nb2.isEmpty()
+
+
 def test_singleton_buckets_matchable(spark):
     """A corpus document alone in its buckets (no near-dup among the
     old batch) must still be FINDABLE by a new near-duplicate — the
