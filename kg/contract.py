@@ -1202,6 +1202,47 @@ def approx_distinct(spark, sf):
                  F.countDistinct("l_partkey").alias("exact_parts")))
 
 
+@q("semantic_dedup_clusters", """
+WITH RECURSIVE v AS (SELECT vec_id, embedding,
+        list_aggregate(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS sq
+    FROM embeddings WHERE vec_id < 200),
+e AS (SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_aggregate(list_transform(
+                list_zip(a.embedding, b.embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                'sum')
+            / sqrt(greatest(a.sq * b.sq, 1e-12)) >= 0.3),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+walk(node, comp) AS (
+    SELECT vec_id, vec_id FROM v
+    UNION
+    SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node)
+SELECT node AS vec_id, min(comp) AS cluster,
+       (node = min(comp)) AS keep
+FROM walk GROUP BY node
+""")
+def semantic_dedup_clusters(spark, sf):
+    """Semantic dedup, SemDeDup regime (kg/stages/semantic.py):
+    exact-cosine ≥ 0.3 edges → connected components → one KEEP
+    representative (min vec_id) per cluster. Brute edges here
+    (bounded vec_id < 200 — the oracle shape; same guarded cosine the
+    hash-matched ann_rerank_exact pins); the scale path swaps in the
+    LSH candidate generator, whose exact in-candidate verification
+    makes its clustering a provable REFINEMENT of this one
+    (test_semantic.py). Tail slot, but fully oracle-paired — DuckDB
+    recomputes edges + WITH RECURSIVE closure and check_contract
+    hash-verifies it locally even though the driver window ends
+    before this entry."""
+    from kg.stages import semantic
+
+    e = (_t(spark, sf, "embeddings").where("vec_id < 200")
+         .select("vec_id", "embedding"))
+    return (semantic.semantic_dedup(e, tau=0.3, method="brute")
+            .select("vec_id", "cluster", "keep"))
+
+
 @q("incremental_lsh_dedup", None)
 def incremental_lsh_dedup(spark, sf):
     """Day-2 dedup: the first 90% of documents are an append-only LSH
