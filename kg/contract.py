@@ -1243,6 +1243,68 @@ def semantic_dedup_clusters(spark, sf):
             .select("vec_id", "cluster", "keep"))
 
 
+@q("corpus_sample_hash", """
+SELECT doc_id, text
+FROM documents
+WHERE CAST(('0x' || substring(md5('s42:' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 10 = 0
+""")
+def corpus_sample_hash(spark, sf):
+    """Deterministic hash-based corpus sampling (training-data splits
+    that are REPRODUCIBLE across engines, runs and partitionings —
+    rand(seed) is none of those: it is partition-dependent in Spark
+    and unportable to the oracle). Keep a row iff
+    int(md5(salt:doc_id)[:8]) % 10 == 0 → a stable ~10% sample; the
+    salt re-draws the sample without touching the data. Fully
+    JVM-side (md5 + conv), pushdown-friendly, embarrassingly
+    parallel. Hash-matched against DuckDB computing the identical
+    md5-prefix rule."""
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("s42:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 10)
+    return (_t(spark, sf, "documents")
+            .where(bucket == 0).select("doc_id", "text"))
+
+
+@q("token_pack_greedy", """
+WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        len(string_split(text, ' ')) AS n_tokens
+    FROM documents),
+c AS (SELECT doc_id, shard, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_before
+      FROM t)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor(cum_before / 2048) AS BIGINT) AS pack_id,
+       CAST(cum_before % 2048 AS BIGINT) AS pack_offset
+FROM c
+""")
+def token_pack_greedy(spark, sf):
+    """Sequence packing for training-batch construction: per shard,
+    documents in stable doc_id order are laid head-to-tail into
+    2048-token context windows; pack_id = which window a document
+    STARTS in (within its shard), pack_offset = its start position
+    there (documents may span a boundary — the standard
+    concat-then-chunk packing regime, not bin packing). The window is
+    PARTITIONED BY shard: packing is embarrassingly parallel — no
+    global sort, no single-partition window — which is the only shape
+    that exists at 100 TB. Hash-matched against the identical
+    partitioned SUM OVER in DuckDB."""
+    from pyspark.sql import Window as W
+
+    w = (W.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    t = (_t(spark, sf, "documents")
+         .select("doc_id", (F.col("doc_id") % 8).alias("shard"),
+                 F.size(F.split("text", " ")).alias("n_tokens")))
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id", "shard", "n_tokens",
+        F.floor(cum / 2048).cast("long").alias("pack_id"),
+        (cum % 2048).cast("long").alias("pack_offset"))
+
+
 @q("incremental_lsh_dedup", None)
 def incremental_lsh_dedup(spark, sf):
     """Day-2 dedup: the first 90% of documents are an append-only LSH
