@@ -1325,11 +1325,12 @@ def incremental_lsh_dedup(spark, sf):
     split = int(d.count() * 0.9)
     old = d.where(F.col("doc_id") < split).select("norm")
     new = d.where(F.col("doc_id") >= split).select("norm")
-    # The index is consumed by three plan branches (anti-join node
-    # set, touched-bucket join, verify features); persist stands in
-    # for the stored table a real day-2 deployment reads.
+    # No persist here: the contract session runs 59 entries without a
+    # clearCache, so an entry-scoped persist would leak storage for
+    # the whole run. The three index consumers recompute (fine at
+    # sf0.01); bench.py measures the real regime — index read from
+    # parquet, query-only timed.
     feats, bands = incremental.build_dedup_index(old, feature="word")
-    feats, bands = feats.persist(), bands.persist()
     edges, _, _ = incremental.incremental_near_dup_edges(
         new, feats, bands, tau=0.5, feature="word")
     fp = (d.select(F.xxhash64("norm").alias("node"),

@@ -78,7 +78,12 @@ def observe_dropped(blocks: DataFrame, obs, cap: int) -> DataFrame:
     distinct-node recall exposure, not a distinct count (computing
     distinct ids here would cost an extra shuffle on the hot path).
     No-op when ``obs`` is None. ``blocks`` must carry the ``ns``
-    collect_list column."""
+    collect_list column.
+
+    Caveat (measured, Spark 4.1): if the query's FINAL result is
+    empty, AQE can prune the observed subtree and ``obs.get`` raises
+    instead of returning zeros — read the metrics only after an
+    action that produced rows, or wrap the read in try/except."""
     if obs is None:
         return blocks
     return blocks.observe(
@@ -240,7 +245,8 @@ def near_duplicate_edges(norms: DataFrame,
                          feature: str = "char",
                          shingle_w: int = spec.SHINGLE_W,
                          obs=None,
-                         return_feats: bool = False):
+                         return_feats: bool = False,
+                         block_cap: int = spec.BLOCK_CAP):
     """C1+C2 composed with persist discipline: the feature table feeds
     both the minhash UDF and the verify join, and the banded frame
     feeds both the bucket-size filter and the pair join — without
@@ -254,7 +260,9 @@ def near_duplicate_edges(norms: DataFrame,
     feats = node_features(norms, feature=feature,
                           shingle_w=shingle_w).persist()
     banded = lsh_bands(minhash_signatures(feats)).persist()
-    edges = verify_pairs(candidate_pairs(banded, obs=obs), feats, tau=tau)
+    edges = verify_pairs(
+        candidate_pairs(banded, block_cap=block_cap, obs=obs),
+        feats, tau=tau)
     if return_feats:
         return edges, feats
     return edges

@@ -21,11 +21,15 @@ shuffles are the batch-local grouping of touched buckets and the
 id-pair dedup, both O(batch), not O(corpus). With the index stored
 partitioned by band, partition pruning cuts the scan further.
 
-Evidence (tests/test_incremental.py): split-equivalence against the
-one-shot path — index(old) edges ∪ incremental(new) edges ==
-near_duplicate_edges(old ∪ new) exactly, at sf0.001 on the documents
-table; re-ingested duplicates are anti-joined out; the broadcast
-semi-join is pinned in the plan."""
+Evidence (tests/test_incremental.py): the incremental edge set equals
+one-shot near_duplicate_edges(old ∪ new) restricted to pairs touching
+a new node — EXACTLY, including the hot-bucket regime where the
+block cap binds (touched buckets are reconstructed with their
+combined old+new membership, so the cap drops the same buckets the
+one-shot path drops); with caps not binding this implies
+index(old) ∪ incremental(new) == one-shot(old ∪ new). Re-ingested
+duplicates are anti-joined out; the no-shuffle index consumption is
+pinned in the plan."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
@@ -51,6 +55,13 @@ def build_dedup_index(norms: DataFrame, feature: str = "char",
     return feats, bands
 
 
+#: above this many distinct batch bucket keys, skip the broadcast hint
+#: (a first-load batch with an empty index is O(batch × bands) keys —
+#: forcing that through a broadcast would OOM the driver where a plain
+#: shuffle join plans fine).
+MAX_BROADCAST_KEYS = 2_000_000
+
+
 def incremental_near_dup_edges(new_norms: DataFrame,
                                index_feats: DataFrame,
                                index_bands: DataFrame,
@@ -58,7 +69,7 @@ def incremental_near_dup_edges(new_norms: DataFrame,
                                feature: str = "char",
                                shingle_w: int = spec.SHINGLE_W,
                                block_cap: int = spec.BLOCK_CAP,
-                               obs=None, obs_self=None):
+                               obs=None):
     """Near-dup edges (src, dst, sim) where at least one side is from
     the new batch — new-vs-corpus AND new-vs-new — plus the batch's
     own (new_feats, new_bands) for the caller to APPEND to the index
@@ -66,14 +77,25 @@ def incremental_near_dup_edges(new_norms: DataFrame,
 
     Re-ingested exact duplicates (a norm already in the index) are
     anti-joined out up front: they produce no pair and no index
-    growth. ``obs`` observes dropped over-cap TOUCHED index buckets;
-    ``obs_self`` observes the batch-self candidate path (separate
-    Observation objects — Spark allows one dataset per Observation).
+    growth.
 
-    Cap semantics: the per-bucket cap bounds the INDEX side of each
-    touched bucket (candidate fan-out per new node ≤ bands ×
-    block_cap); the batch-self path applies the same cap inside
-    canon.candidate_pairs."""
+    Cap semantics — EXACT parity with the one-shot path: each touched
+    bucket is reconstructed with its COMBINED membership (index nodes
+    + batch nodes — byte-identical to the bucket
+    canon.candidate_pairs would see on old ∪ new), the cap is applied
+    to that combined size, and only pairs touching a new node are
+    emitted. Guarantee (pinned in test_incremental.py, hot-bucket
+    regime included):
+
+        incremental edges == one-shot(old ∪ new) edges
+                              ∩ {pairs with ≥ 1 new node}
+
+    The only asymmetry an append-only index permits: old-old pairs
+    EMITTED BY EARLIER BATCHES are never retracted when a bucket later
+    grows past the cap — those pairs are Jaccard-verified true
+    near-dups regardless (precision is exact always; the cap is a
+    recall heuristic). ``obs`` observes combined over-cap buckets
+    (canon.observe_dropped)."""
     new_feats = (canon.node_features(new_norms, feature=feature,
                                      shingle_w=shingle_w)
                  .join(index_feats.select("node"), "node", "left_anti")
@@ -83,22 +105,38 @@ def incremental_near_dup_edges(new_norms: DataFrame,
 
     # Touched index buckets only: broadcast the batch's key set so the
     # index side is a map-side semi-join — the index never shuffles.
-    keys = new_bands.select("band", "bhash").distinct()
-    touched = index_bands.join(F.broadcast(keys), ["band", "bhash"])
-    grouped = (touched.groupBy("band", "bhash")
-               .agg(F.collect_list("node").alias("ns")))
+    # keys.count() is an O(batch) job; it guards the hint, not the
+    # semantics.
+    keys = new_bands.select("band", "bhash").distinct().persist()
+    if keys.count() <= MAX_BROADCAST_KEYS:
+        keys = F.broadcast(keys)
+    touched = (index_bands.join(keys, ["band", "bhash"])
+               .select("band", "bhash", "node",
+                       F.lit(False).alias("is_new")))
+    batch = new_bands.select("band", "bhash", "node",
+                             F.lit(True).alias("is_new"))
+
+    # ONE combined grouping — the bucket the one-shot path would see —
+    # so the cap binds identically, and one expansion emits cross AND
+    # within-batch pairs (single id-pair dedup shuffle).
+    pair_expr = (
+        "flatten(transform(ns, (x, i) -> "
+        "transform(slice(ns, i + 2, size(ns)), "
+        "y -> struct(least(x.node, y.node) AS src, "
+        "greatest(x.node, y.node) AS dst, "
+        "(x.is_new OR y.is_new) AS any_new))))")
+    grouped = (touched.unionByName(batch)
+               .groupBy("band", "bhash")
+               .agg(F.collect_list(F.struct("node", "is_new"))
+                    .alias("ns"))
+               .where(F.size("ns") >= 2))
     grouped = canon.observe_dropped(grouped, obs, block_cap)
     grouped = grouped.where(F.size("ns") <= block_cap)
-
-    cross = (new_bands.join(grouped, ["band", "bhash"])
-             .select(F.col("node"), F.explode("ns").alias("other"))
-             .select(F.least("node", "other").alias("src"),
-                     F.greatest("node", "other").alias("dst"))
+    cands = (grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+             .where(F.col("p.any_new"))
+             .select("p.src", "p.dst")
              .where(F.col("src") != F.col("dst"))
              .dropDuplicates(["src", "dst"]))
-    within = canon.candidate_pairs(new_bands, block_cap=block_cap,
-                                   obs=obs_self)
-    cands = cross.union(within).dropDuplicates(["src", "dst"])
 
     all_feats = (index_feats.select("node", "f")
                  .union(new_feats.select("node", "f")))

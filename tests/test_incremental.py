@@ -67,16 +67,64 @@ def test_append_then_empty_batch(spark):
 
 
 def test_index_side_never_shuffles(spark):
-    """The index is consumed through a broadcast hash join on the
-    batch's key set — no Exchange on the index-bands scan side before
-    the join (the O(corpus) shuffle this module exists to avoid)."""
+    """The index is consumed through the module's EXPLICIT broadcast
+    of the batch's key set. With auto-broadcast disabled, that hint is
+    the only thing that can produce a BroadcastHashJoin — so this
+    fails if the hint is ever dropped (the regression would shuffle
+    the full O(corpus) index through an Exchange). Asserted on the
+    module-built plan, not a reconstruction: at test scale every join
+    auto-broadcasts, which would mask the regression otherwise."""
     old = _norms(spark, "doc_id < 150")
     new = _norms(spark, "doc_id >= 150")
     feats, bands = incremental.build_dedup_index(old, feature="word")
-    edges, _, _ = incremental.incremental_near_dup_edges(
-        new, feats, bands, tau=0.5, feature="word")
-    plan = edges._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges, _, _ = incremental.incremental_near_dup_edges(
+            new, feats, bands, tau=0.5, feature="word")
+        plan = edges._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_hot_bucket_cap_parity(spark):
+    """THE cap regime: 24 mutual near-dups (J = 0.9 pairwise) split
+    12/12 overflow LSH buckets at block_cap=6 on both paths. Because
+    incremental reconstructs each touched bucket with its COMBINED
+    old+new membership, the cap drops exactly the buckets the
+    one-shot path drops — so incremental == one-shot restricted to
+    new-touching pairs holds EXACTLY even here (the regime the
+    original split-equivalence test never exercised)."""
+    from pyspark.sql import Observation
+
+    base = " ".join(f"w{i}" for i in range(20))
+    docs = [(f"{base} extra{i}",) for i in range(24)]
+    all_n = spark.createDataFrame(docs, "norm string")
+    old_n = spark.createDataFrame(docs[:12], "norm string")
+    new_n = spark.createDataFrame(docs[12:], "norm string")
+    # combined buckets here hold 15-24 members; cap=18 makes drops
+    # REAL (some buckets over, some under) while pairs still survive
+    # through under-cap buckets — the regime where a per-side cap
+    # (the pre-review design) would diverge from the one-shot path
+    cap = 18
+
+    oneshot = canon.near_duplicate_edges(all_n, tau=0.5, feature="word",
+                                         block_cap=cap)
+    feats, bands = incremental.build_dedup_index(old_n, feature="word")
+    obs = Observation("inc_drops")
+    inc, new_feats, _ = incremental.incremental_near_dup_edges(
+        new_n, feats, bands, tau=0.5, feature="word", block_cap=cap,
+        obs=obs)
+    inc_set = _edge_set(inc)
+    new_nodes = {r["node"] for r in new_feats.select("node").collect()}
+    want = {e for e in _edge_set(oneshot)
+            if e[0] in new_nodes or e[1] in new_nodes}
+    assert inc_set == want
+    # all 12×12 + C(12,2) new-touching true pairs (J=0.9 each)
+    assert len(inc_set) == 210
+    # the regime is real: over-cap combined buckets were actually hit
+    assert obs.get["dropped_buckets"] > 0
 
 
 def test_empty_index_and_empty_batch(spark):
