@@ -202,6 +202,14 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
 
     timed("incremental_lsh_dedup", inc_dedup)
 
+    # --- the composed corpus pipeline (QC -> dedup -> pack) ---------
+    from kg.stages import corpus as corpus_mod
+
+    timed("corpus_pipeline", lambda: corpus_mod.corpus_pipeline(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text"))
+        .write.mode("overwrite").format("noop").save())
+
     spark.stop()
     tput = n_turns / timings["kg_e2e_pipeline"]
     return {"cpus": cpus, "n_turns": n_turns, "timings": timings,

@@ -1305,6 +1305,24 @@ def token_pack_greedy(spark, sf):
         (cum % 2048).cast("long").alias("pack_offset"))
 
 
+@q("corpus_pipeline", None)
+def corpus_pipeline(spark, sf):
+    """The composed training-corpus pipeline (kg/stages/corpus.py):
+    QC filter → lang heuristic → exact dedup (min-doc survivor) →
+    LSH near-dup dedup + CC representative → per-shard sequence
+    packing, one lazy DataFrame program. Every stage's semantics are
+    pinned by its standalone oracle-paired entry; the composition's
+    survivor hygiene is verified brute-force in test_corpus.py
+    (no exact dup, no pair at J ≥ τ among survivors) along with
+    partitioning-independence. Rows-only here (the CC step makes a
+    single-statement SQL oracle impractical)."""
+    from kg.stages import corpus
+
+    return (corpus.corpus_pipeline(
+        _t(spark, sf, "documents").select("doc_id", "text"))
+        .orderBy("doc_id"))
+
+
 @q("incremental_lsh_dedup", None)
 def incremental_lsh_dedup(spark, sf):
     """Day-2 dedup: the first 90% of documents are an append-only LSH

@@ -391,6 +391,54 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     return labels
 
 
+def components_auto(nodes: DataFrame, edges: DataFrame,
+                    driver_max_nodes: int = None,
+                    driver_max_edges: int = None) -> DataFrame:
+    """Same contract as :func:`connected_components` — (node) +
+    (src, dst) → (node, component = min member id) — but with the
+    canonicalize_norms fast-path discipline made generic: when BOTH
+    probes fit (node count ≤ driver_max_nodes, edge count ≤
+    driver_max_edges — the edge probe matters, a dense graph can emit
+    orders more edges than nodes), run a driver union-find instead of
+    the iterative distributed loop, killing the O(rounds)
+    driver-scheduled job storm that is pure fixed cost on small
+    graphs (Amdahl tail at bench scale). Above either bound, the
+    distributed hash-to-min path runs. Output identical on every
+    graph (pinned in test_canon.py)."""
+    if driver_max_nodes is None:
+        driver_max_nodes = DRIVER_CANON_MAX_NODES
+    if driver_max_edges is None:
+        driver_max_edges = DRIVER_CANON_MAX_EDGES
+    if driver_max_nodes > 0:
+        node_rows = (nodes.select("node")
+                     .limit(driver_max_nodes + 1).collect())
+        if len(node_rows) <= driver_max_nodes:
+            edge_rows = (edges.select("src", "dst")
+                         .limit(driver_max_edges + 1).collect())
+            if len(edge_rows) <= driver_max_edges:
+                ids = [r["node"] for r in node_rows]
+                parent = {n: n for n in ids}
+
+                def find(x):
+                    while parent[x] != x:
+                        parent[x] = parent[parent[x]]
+                        x = parent[x]
+                    return x
+
+                for r in edge_rows:
+                    a, b = find(r["src"]), find(r["dst"])
+                    if a != b:
+                        # keep the minimum as the root → component id
+                        if a < b:
+                            parent[b] = a
+                        else:
+                            parent[a] = b
+                return nodes.sparkSession.createDataFrame(
+                    [(n, find(n)) for n in ids],
+                    "node long, component long")
+    return connected_components(nodes, edges)
+
+
 def connected_components_star(nodes: DataFrame, edges: DataFrame,
                               max_iter: int = 20) -> DataFrame:
     """C3 alternative: alternating large-star / small-star

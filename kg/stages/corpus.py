@@ -1,0 +1,108 @@
+"""End-to-end training-corpus preparation pipeline (SURVEY.md §2
+training-data extras, composed): quality filter → language filter →
+exact dedup → near-dup dedup → deterministic sample → sequence
+packing, as ONE lazy DataFrame program over the documents table.
+
+Every stage is the same logic its standalone oracle-paired contract
+entry pins (text_quality_score / lang_id_heuristic /
+distinct_dedup-shape / minhash_lsh_dedup + CC / corpus_sample_hash /
+token_pack_greedy) — this module contributes the composition, the
+keep-the-minimum-doc tie-breaking, and the stage counters.
+
+Scale shape: stages 1–2 are map-only scalar expressions; exact dedup
+is one groupBy on the normalized text; near-dup dedup reuses the
+banded LSH + CC machinery (canon.near_duplicate_edges /
+connected_components — capped buckets, id-narrow shuffles); sampling
+is a map-only md5 rule; packing is a per-shard window. Nothing
+collects to the driver; determinism is partitioning-independent
+(pinned in tests/test_corpus.py) because every decision keys on
+content hashes or min-ids, never on row order.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kg import spec
+from kg.stages import canon
+
+__all__ = ["corpus_pipeline"]
+
+#: identical to kg/contract.py _STOPWORDS (pinned by test_corpus.py
+#: so the composed QC can never drift from the oracle-paired entries)
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "was", "for",
+             "on", "at", "by")
+
+
+def _qc_cols(df: DataFrame) -> DataFrame:
+    words = F.split("text", " ")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return df.withColumns({
+        "n_tokens": F.size(words),
+        "stopword_ratio":
+            F.size(F.filter(words, lambda x: F.array_contains(stop, x)))
+            .cast("double") / F.size(words),
+        "norm": F.lower(F.regexp_replace("text", r"\s+", " ")),
+    })
+
+
+def corpus_pipeline(docs: DataFrame,
+                    min_tokens: int = 5,
+                    min_stopword_ratio: float = 0.05,
+                    tau: float = 0.5,
+                    sample_mod: int | None = None,
+                    pack_ctx: int = 2048,
+                    n_shards: int = 8) -> DataFrame:
+    """documents(doc_id, text) → surviving rows with
+    (doc_id, n_tokens, shard, pack_id, pack_offset).
+
+    - QC: ≥ ``min_tokens`` whitespace tokens AND stopword density >
+      ``min_stopword_ratio`` (the lang-id heuristic's 'en' rule).
+    - Exact dedup: one survivor per normalized text — the MINIMUM
+      doc_id (deterministic under any partitioning).
+    - Near-dup dedup: minhash/LSH word-shingle edges at Jaccard ≥ τ →
+      connected components over distinct norms → only docs whose norm
+      IS its cluster representative (min node id) survive; among docs
+      sharing that norm, exact dedup already chose the min doc_id.
+    - Sample: keep iff md5-prefix % ``sample_mod`` == 0 (skipped when
+      None — sampling is policy, not hygiene).
+    - Pack: per-shard (doc_id % n_shards) concat-then-chunk into
+      ``pack_ctx``-token windows in doc_id order."""
+    qc = (_qc_cols(docs)
+          .where((F.col("n_tokens") >= min_tokens)
+                 & (F.col("stopword_ratio") > min_stopword_ratio)))
+
+    # min(struct) — NOT first(): docs with different raw text can
+    # normalize equally with different n_tokens, and first() is
+    # partitioning-dependent. min(struct) ties n_tokens to the
+    # winning (minimum) doc_id deterministically.
+    exact = (qc.groupBy("norm")
+             .agg(F.min(F.struct("doc_id", "n_tokens")).alias("m"))
+             .select("norm", F.col("m.doc_id").alias("doc_id"),
+                     F.col("m.n_tokens").alias("n_tokens")))
+
+    edges = canon.near_duplicate_edges(exact.select("norm"), tau=tau,
+                                       feature="word")
+    nodes = exact.select(F.xxhash64("norm").alias("node"))
+    comp = canon.components_auto(nodes, edges)
+    keep = (exact.withColumn("node", F.xxhash64("norm"))
+            .join(comp, "node")
+            .where(F.col("node") == F.col("component"))
+            .select("doc_id", "n_tokens"))
+
+    if sample_mod is not None:
+        bucket = (F.conv(F.substring(
+            F.md5(F.concat(F.lit("s42:"),
+                           F.col("doc_id").cast("string"))),
+            1, 8), 16, 10).cast("long") % sample_mod)
+        keep = keep.where(bucket == 0)
+
+    from pyspark.sql import Window as W
+
+    w = (W.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    packed = keep.withColumn("shard", F.col("doc_id") % n_shards)
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return packed.select(
+        "doc_id", "n_tokens", "shard",
+        F.floor(cum / pack_ctx).cast("long").alias("pack_id"),
+        (cum % pack_ctx).cast("long").alias("pack_offset"))

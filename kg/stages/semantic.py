@@ -89,7 +89,7 @@ def semantic_dedup(vecs: DataFrame, tau: float,
     else:
         raise ValueError(f"unknown method {method!r}")
     nodes = vecs.select(F.col(id_col).alias("node"))
-    comp = canon.connected_components(nodes, edges)
+    comp = canon.components_auto(nodes, edges)
     return comp.select(F.col("node").alias(id_col),
                        F.col("component").alias("cluster"),
                        (F.col("node") == F.col("component"))

@@ -350,3 +350,24 @@ def test_canonicalize_edge_bound_falls_back_distributed(spark):
                                         driver_max_edges=1)
     assert sorted(map(tuple, via_driver.collect())) \
         == sorted(map(tuple, via_dist.collect()))
+
+
+def test_components_auto_parity(spark):
+    """components_auto: driver union-find output == distributed
+    hash-to-min output on the same multi-component graph, and the
+    edge-bound forces the distributed branch (probe discipline)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(0, 30, 3)]      # 10 chains
+        + [(100, 103, 1.0), (103, 106, 1.0)], schema=schemas.EDGES)
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(0, 32)] + [(100,), (103,), (106,), (999,)],
+        "node long")
+    fast = {(r["node"], r["component"])
+            for r in canon.components_auto(nodes, edges).collect()}
+    dist = {(r["node"], r["component"])
+            for r in canon.connected_components(nodes, edges).collect()}
+    forced = {(r["node"], r["component"])
+              for r in canon.components_auto(
+                  nodes, edges, driver_max_edges=1).collect()}
+    assert fast == dist == forced
+    assert (999, 999) in fast            # singleton keeps itself
