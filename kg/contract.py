@@ -572,8 +572,7 @@ def explode_words(spark, sf):
 # training-data-pipeline operators over documents / embeddings
 # ---------------------------------------------------------------------------
 
-_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "was", "for",
-              "on", "at", "by")
+from kg.spec import STOPWORDS as _STOPWORDS  # noqa: E402  (shared pin)
 
 
 @q("text_quality_score", f"""
@@ -1310,7 +1309,8 @@ def corpus_pipeline(spark, sf):
     """The composed training-corpus pipeline (kg/stages/corpus.py):
     QC filter → lang heuristic → exact dedup (min-doc survivor) →
     LSH near-dup dedup + CC representative → per-shard sequence
-    packing, one lazy DataFrame program. Every stage's semantics are
+    packing, one composed DataFrame program (the components step is
+    eager — canon.components_auto probes graph size at call time). Every stage's semantics are
     pinned by its standalone oracle-paired entry; the composition's
     survivor hygiene is verified brute-force in test_corpus.py
     (no exact dup, no pair at J ≥ τ among survivors) along with

@@ -111,6 +111,14 @@ BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
+#: shared by the quality/lang-id contract entries (kg/contract.py)
+#: and the composed corpus pipeline (kg/stages/corpus.py) — one
+#: definition so the composed QC can never drift from the
+#: oracle-paired entries.
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "was", "for",
+             "on", "at", "by")
+
+
 def merge_ranks(table: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
     """Re-express a (pattern, sentinel) merge table as TRUE-BPE pair
     ranks over concatenation symbols: each 2-symbol pattern becomes

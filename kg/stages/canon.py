@@ -35,6 +35,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StructField, StructType
 
 from kg import spec
 
@@ -404,7 +405,17 @@ def components_auto(nodes: DataFrame, edges: DataFrame,
     driver-scheduled job storm that is pure fixed cost on small
     graphs (Amdahl tail at bench scale). Above either bound, the
     distributed hash-to-min path runs. Output identical on every
-    graph (pinned in test_canon.py)."""
+    WELL-FORMED graph — edge endpoints ⊆ nodes, as every in-repo
+    caller guarantees (pinned in test_canon.py); on malformed input
+    the driver branch IGNORES edges with an endpoint outside
+    ``nodes`` while the distributed branch propagates labels into
+    such endpoints — neither crashes, but keep edges ⊆ nodes if you
+    need branch-identical output.
+
+    NOTE this function is EAGER: the probes collect up to
+    driver_max_nodes node rows (+1) and driver_max_edges edge rows
+    (+1) at call time — size driver memory accordingly, or pass
+    driver_max_nodes=0 to force the fully-lazy distributed branch."""
     if driver_max_nodes is None:
         driver_max_nodes = DRIVER_CANON_MAX_NODES
     if driver_max_edges is None:
@@ -416,7 +427,10 @@ def components_auto(nodes: DataFrame, edges: DataFrame,
             edge_rows = (edges.select("src", "dst")
                          .limit(driver_max_edges + 1).collect())
             if len(edge_rows) <= driver_max_edges:
-                ids = [r["node"] for r in node_rows]
+                # dedup while preserving order — the distributed
+                # groupBy dedups too, so duplicate node rows must not
+                # change the output shape between branches
+                ids = list(dict.fromkeys(r["node"] for r in node_rows))
                 parent = {n: n for n in ids}
 
                 def find(x):
@@ -426,6 +440,8 @@ def components_auto(nodes: DataFrame, edges: DataFrame,
                     return x
 
                 for r in edge_rows:
+                    if r["src"] not in parent or r["dst"] not in parent:
+                        continue
                     a, b = find(r["src"]), find(r["dst"])
                     if a != b:
                         # keep the minimum as the root → component id
@@ -433,9 +449,12 @@ def components_auto(nodes: DataFrame, edges: DataFrame,
                             parent[b] = a
                         else:
                             parent[a] = b
+                node_field = nodes.select("node").schema.fields[0]
+                schema = StructType([
+                    node_field,
+                    StructField("component", node_field.dataType)])
                 return nodes.sparkSession.createDataFrame(
-                    [(n, find(n)) for n in ids],
-                    "node long, component long")
+                    [(n, find(n)) for n in ids], schema)
     return connected_components(nodes, edges)
 
 

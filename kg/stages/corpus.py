@@ -1,7 +1,9 @@
 """End-to-end training-corpus preparation pipeline (SURVEY.md §2
 training-data extras, composed): quality filter → language filter →
 exact dedup → near-dup dedup → deterministic sample → sequence
-packing, as ONE lazy DataFrame program over the documents table.
+packing, as ONE composed DataFrame program over the documents
+table (mostly lazy; the components step runs eager size probes —
+see below).
 
 Every stage is the same logic its standalone oracle-paired contract
 entry pins (text_quality_score / lang_id_heuristic /
@@ -10,13 +12,17 @@ token_pack_greedy) — this module contributes the composition, the
 keep-the-minimum-doc tie-breaking, and the stage counters.
 
 Scale shape: stages 1–2 are map-only scalar expressions; exact dedup
-is one groupBy on the normalized text; near-dup dedup reuses the
-banded LSH + CC machinery (canon.near_duplicate_edges /
-connected_components — capped buckets, id-narrow shuffles); sampling
-is a map-only md5 rule; packing is a per-shard window. Nothing
-collects to the driver; determinism is partitioning-independent
-(pinned in tests/test_corpus.py) because every decision keys on
-content hashes or min-ids, never on row order.
+is one groupBy on the normalized text (persisted — it feeds the LSH
+features and the final keep-join); near-dup dedup reuses the banded
+LSH machinery (canon.near_duplicate_edges — capped buckets,
+id-narrow shuffles) with components through canon.components_auto,
+which is EAGER: it probes node/edge counts at call time and runs a
+bounded driver union-find on small graphs (≤100k nodes / ≤1M edges
+collected) or the fully-distributed hash-to-min loop above that.
+Sampling is a map-only md5 rule; packing is a per-shard window.
+Determinism is partitioning-independent (pinned in
+tests/test_corpus.py) because every decision keys on content hashes
+or min-ids, never on row order.
 """
 from __future__ import annotations
 
@@ -27,10 +33,7 @@ from kg.stages import canon
 
 __all__ = ["corpus_pipeline"]
 
-#: identical to kg/contract.py _STOPWORDS (pinned by test_corpus.py
-#: so the composed QC can never drift from the oracle-paired entries)
-STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "was", "for",
-             "on", "at", "by")
+STOPWORDS = spec.STOPWORDS  # one shared definition, no drift
 
 
 def _qc_cols(df: DataFrame) -> DataFrame:
@@ -78,12 +81,16 @@ def corpus_pipeline(docs: DataFrame,
     exact = (qc.groupBy("norm")
              .agg(F.min(F.struct("doc_id", "n_tokens")).alias("m"))
              .select("norm", F.col("m.doc_id").alias("doc_id"),
-                     F.col("m.n_tokens").alias("n_tokens")))
+                     F.col("m.n_tokens").alias("n_tokens"))
+             .persist())
 
-    edges = canon.near_duplicate_edges(exact.select("norm"), tau=tau,
-                                       feature="word")
-    nodes = exact.select(F.xxhash64("norm").alias("node"))
-    comp = canon.components_auto(nodes, edges)
+    edges, feats = canon.near_duplicate_edges(
+        exact.select("norm"), tau=tau, feature="word",
+        return_feats=True)
+    # node set from the PERSISTED feature table — not a recompute of
+    # the QC + groupBy chain (the probe in components_auto is an
+    # eager collect, so this reuse matters)
+    comp = canon.components_auto(feats.select("node"), edges)
     keep = (exact.withColumn("node", F.xxhash64("norm"))
             .join(comp, "node")
             .where(F.col("node") == F.col("component"))

@@ -12,8 +12,10 @@ Composition of already-verified parts, no new primitives:
   candidates with exact in-candidate verification
   (kg/stages/ann.py — the 100 TB path: bucketed, capped, never
   all-pairs).
-- grouping: canon.connected_components (hash-to-min, oracle-paired in
-  kg_connected_components); cluster id = min vec_id of the group.
+- grouping: canon.components_auto — a driver union-find on small
+  graphs (eager size probes; bounded collect), the oracle-paired
+  hash-to-min loop (kg_connected_components) above the bounds —
+  output-identical by test; cluster id = min vec_id of the group.
 - decision: keep = (vec_id == cluster) — deterministic
   one-representative-per-cluster, singletons keep themselves.
 
