@@ -106,3 +106,19 @@ def test_extract_score_is_shuffle_free(spark):
     plan = _plan(pipeline.extract_and_score(spark, t0))
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan
+
+
+def test_packing_window_is_sharded(spark):
+    """token_pack_greedy and the corpus pipeline's packing stage are
+    PARTITION BY shard windows: no Exchange SinglePartition may appear
+    (a global-order window funnels 100 TB through one task)."""
+    from kg.contract import Q
+    from kg.stages import corpus
+
+    for df in (Q["token_pack_greedy"][0](spark, SF),
+               corpus.corpus_pipeline(
+                   spark.read.parquet(f"{SF}/documents.parquet")
+                   .select("doc_id", "text"))):
+        plan = _plan(df)
+        assert "Window" in plan
+        assert "Exchange SinglePartition" not in plan, plan
