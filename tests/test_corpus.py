@@ -91,3 +91,14 @@ def test_sampling_subsets_survivors(spark):
         _docs(spark), sample_mod=10).collect()}
     assert sampled < full
     assert len(sampled) > 0
+
+
+def test_degenerate_inputs(spark):
+    """Empty corpus and a corpus where QC filters everything both
+    yield an empty result, not a crash (the components_auto driver
+    branch must handle a zero-node graph)."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert corpus.corpus_pipeline(empty).count() == 0
+    junk = spark.createDataFrame([(1, "x"), (2, "zz qq")],
+                                 "doc_id long, text string")
+    assert corpus.corpus_pipeline(junk).count() == 0
