@@ -1242,6 +1242,54 @@ def semantic_dedup_clusters(spark, sf):
             .select("vec_id", "cluster", "keep"))
 
 
+def _trigram_score_sql(lang: str) -> str:
+    """Occurrence count of a language's profile trigrams, as the same
+    replace()-difference expression in both engines (non-overlapping
+    counts, identical semantics)."""
+    from kg import spec
+
+    terms = [f"(length(lower(text)) - length(replace(lower(text), "
+             f"'{tg}', ''))) / 3"
+             for tg in spec.LANG_TRIGRAMS[lang]]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@q("lang_id_ngram", f"""
+SELECT doc_id,
+       {_trigram_score_sql('en')} AS hits_en,
+       {_trigram_score_sql('de')} AS hits_de,
+       CASE WHEN {_trigram_score_sql('en')} >= {_trigram_score_sql('de')}
+            THEN 'en' ELSE 'de' END AS lang_pred
+FROM documents
+""")
+def lang_id_ngram(spark, sf):
+    """N-gram language ID (the brief's heuristic family, distinct
+    from the stopword-density entry): per-language frozen trigram
+    profiles (spec.LANG_TRIGRAMS, Cavnar–Trenkle-style reduced to a
+    fixed set), scored as non-overlapping occurrence counts via a
+    replace()-difference — pure scalar JVM expressions, map-only, no
+    explode/join/UDF; argmax ties break to 'en' deterministically in
+    both engines. Oracle runs the IDENTICAL expressions in DuckDB;
+    pytest pins that German-shaped text flips the argmax
+    (test_spec_nlp)."""
+    from kg import spec
+
+    def hits(lang):
+        t = F.lower(F.col("text"))
+        total = None
+        for tg in spec.LANG_TRIGRAMS[lang]:
+            c = (F.length(t) - F.length(F.replace(t, F.lit(tg),
+                                                  F.lit("")))) / 3
+            total = c if total is None else total + c
+        return total.cast("long")
+
+    en, de = hits("en"), hits("de")
+    return (_t(spark, sf, "documents")
+            .select("doc_id", en.alias("hits_en"), de.alias("hits_de"),
+                    F.when(en >= de, "en").otherwise("de")
+                    .alias("lang_pred")))
+
+
 @q("corpus_sample_hash", """
 SELECT doc_id, text
 FROM documents

@@ -119,6 +119,21 @@ STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "was", "for",
              "on", "at", "by")
 
 
+#: Frozen character-trigram profiles for the n-gram language-ID
+#: heuristic (contract.lang_id_ngram; Cavnar–Trenkle-style profile
+#: overlap, reduced to a fixed top-trigram set per language so the
+#: score is a pure scalar expression both engines compute
+#: identically). 'de' exists to make discrimination TESTABLE — the
+#: synthetic corpus is English-shaped, so the entry's fixture output
+#: is 'en'; pytest pins that German-shaped text flips the argmax.
+LANG_TRIGRAMS = {
+    "en": ("the", "ing", "and", "ion", "ent", "tio", "for", "has",
+           "ate", "ers"),
+    "de": ("der", "ein", "ich", "sch", "und", "die", "che", "ung",
+           "gen", "den"),
+}
+
+
 def merge_ranks(table: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
     """Re-express a (pattern, sentinel) merge table as TRUE-BPE pair
     ranks over concatenation symbols: each 2-symbol pattern becomes

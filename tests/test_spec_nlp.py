@@ -253,3 +253,35 @@ def test_bpe_rewriting_duckdb_property(text):
         f"SELECT length(replace({_bpe_chain_sql('lower(?)')}, ' ', ''))",
         [text]).fetchone()[0]
     assert got == spec.bpe_symbol_count(text)
+
+
+def test_lang_id_ngram_discriminates(spark):
+    """The trigram profiles actually discriminate: English-shaped text
+    → 'en', German-shaped text → 'de' (the fixture corpus is all
+    English-shaped, so the driver entry alone can't show this)."""
+    df = spark.createDataFrame(
+        [(1, "the meeting was for handling the ongoing automation"),
+         (2, "der richter und die einige schule sind schnell und gut"),
+         (3, "")],
+        "doc_id long, text string")
+    # the registry entry reads the documents table; rebuild the SAME
+    # expressions (spec.LANG_TRIGRAMS) on a crafted frame instead
+    from kg import spec
+    from pyspark.sql import functions as F
+
+    def hits(lang):
+        t = F.lower(F.col("text"))
+        total = None
+        for tg in spec.LANG_TRIGRAMS[lang]:
+            cnt = (F.length(t) - F.length(F.replace(t, F.lit(tg),
+                                                    F.lit("")))) / 3
+            total = cnt if total is None else total + cnt
+        return total.cast("long")
+
+    en, de = hits("en"), hits("de")
+    got = {r["doc_id"]: r["lang_pred"] for r in df.select(
+        "doc_id", F.when(en >= de, "en").otherwise("de")
+        .alias("lang_pred")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "en"      # tie (0 >= 0) breaks to en, both engines
