@@ -188,17 +188,25 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
     split = int(d.count() * 0.9)
     idx_feats, idx_bands = incremental.build_dedup_index(
         d.where(F.col("doc_id") < split).select("norm"), feature="word")
-    fdir = os.path.join(".bench_data", "_dedup_idx_feats")
-    bdir = os.path.join(".bench_data", "_dedup_idx_bands")
+    # No leading underscore on the index dirs: Spark's path filter
+    # treats _-prefixed basenames as hidden, so reads would only work
+    # via the exact root path while logging "All paths were ignored"
+    # — and a glob/parent-dir consumer would silently see zero files
+    # (ADVICE r3). Assert non-empty before timing so an empty-index
+    # read can never masquerade as a fast dedup.
+    fdir = os.path.join(".bench_data", "dedup_idx_feats")
+    bdir = os.path.join(".bench_data", "dedup_idx_bands")
     idx_feats.write.mode("overwrite").parquet(fdir)
     idx_bands.write.mode("overwrite").parquet(bdir)
+    assert spark.read.parquet(fdir).limit(1).count() == 1, "empty index"
 
     def inc_dedup():
-        edges, _, _ = incremental.incremental_near_dup_edges(
+        edges, nf, nb = incremental.incremental_near_dup_edges(
             d.where(F.col("doc_id") >= split).select("norm"),
             spark.read.parquet(fdir), spark.read.parquet(bdir),
             tau=0.5, feature="word")
         edges.write.mode("overwrite").format("noop").save()
+        incremental.release_batch(nf, nb)
 
     timed("incremental_lsh_dedup", inc_dedup)
 

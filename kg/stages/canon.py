@@ -247,7 +247,8 @@ def near_duplicate_edges(norms: DataFrame,
                          shingle_w: int = spec.SHINGLE_W,
                          obs=None,
                          return_feats: bool = False,
-                         block_cap: int = spec.BLOCK_CAP):
+                         block_cap: int = spec.BLOCK_CAP,
+                         handles: list | None = None):
     """C1+C2 composed with persist discipline: the feature table feeds
     both the minhash UDF and the verify join, and the banded frame
     feeds both the bucket-size filter and the pair join — without
@@ -257,10 +258,17 @@ def near_duplicate_edges(norms: DataFrame,
     ``return_feats=True`` additionally returns the persisted
     (node, norm, f) table as ``(edges, feats)`` so callers needing a
     node → norm map (e.g. fingerprint output keys) reuse the cached
-    distinct scan instead of re-reading the corpus."""
+    distinct scan instead of re-reading the corpus.
+
+    ``handles``: pass a list and the internally-persisted frames are
+    appended to it so the CALLER can ``unpersist()`` them once the
+    edges are materialized — in a long-lived session the caches
+    otherwise outlive the computation (ADVICE r3 leak class)."""
     feats = node_features(norms, feature=feature,
                           shingle_w=shingle_w).persist()
     banded = lsh_bands(minhash_signatures(feats)).persist()
+    if handles is not None:
+        handles += [feats, banded]
     edges = verify_pairs(
         candidate_pairs(banded, block_cap=block_cap, obs=obs),
         feats, tau=tau)

@@ -63,9 +63,13 @@ def corpus_pipeline(docs: DataFrame,
     - Exact dedup: one survivor per normalized text — the MINIMUM
       doc_id (deterministic under any partitioning).
     - Near-dup dedup: minhash/LSH word-shingle edges at Jaccard ≥ τ →
-      connected components over distinct norms → only docs whose norm
-      IS its cluster representative (min node id) survive; among docs
-      sharing that norm, exact dedup already chose the min doc_id.
+      connected components over distinct norms → ONE survivor per
+      component: the member with the minimum doc_id (r4: was "the
+      norm whose xxhash64 is the component label", which is equally
+      deterministic but content-opaque — min doc_id is the rule a
+      user can predict, and the rule an external engine can replicate
+      for verification, since it never references the internal hash
+      ids).
     - Sample: keep iff md5-prefix % ``sample_mod`` == 0 (skipped when
       None — sampling is policy, not hygiene).
     - Pack: per-shard (doc_id % n_shards) concat-then-chunk into
@@ -84,17 +88,32 @@ def corpus_pipeline(docs: DataFrame,
                      F.col("m.n_tokens").alias("n_tokens"))
              .persist())
 
+    handles: list = [exact]
     edges, feats = canon.near_duplicate_edges(
         exact.select("norm"), tau=tau, feature="word",
-        return_feats=True)
+        return_feats=True, handles=handles)
     # node set from the PERSISTED feature table — not a recompute of
     # the QC + groupBy chain (the probe in components_auto is an
     # eager collect, so this reuse matters)
     comp = canon.components_auto(feats.select("node"), edges)
+    # components_auto consumed feats/banded/edges EAGERLY (driver
+    # union-find collect, or localCheckpoint on the distributed
+    # branch), so comp no longer references them — release every
+    # cache now instead of leaking it for the session (ADVICE r3).
+    # Cost: the final keep-join recomputes `exact` once (its one
+    # remaining lazy consumer). At real scale, stage `exact` to a
+    # table (parquet/Iceberg) instead of relying on executor caches.
+    for h in handles:
+        h.unpersist()
+    # Survivor = min doc_id per near-dup component (min(struct) ties
+    # n_tokens to the winning doc deterministically; the internal
+    # component label never reaches the output).
     keep = (exact.withColumn("node", F.xxhash64("norm"))
             .join(comp, "node")
-            .where(F.col("node") == F.col("component"))
-            .select("doc_id", "n_tokens"))
+            .groupBy("component")
+            .agg(F.min(F.struct("doc_id", "n_tokens")).alias("m"))
+            .select(F.col("m.doc_id").alias("doc_id"),
+                    F.col("m.n_tokens").alias("n_tokens")))
 
     if sample_mod is not None:
         bucket = (F.conv(F.substring(

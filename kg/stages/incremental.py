@@ -37,7 +37,18 @@ from pyspark.sql import DataFrame, functions as F
 from kg import spec
 from kg.stages import canon
 
-__all__ = ["build_dedup_index", "incremental_near_dup_edges"]
+__all__ = ["build_dedup_index", "incremental_near_dup_edges",
+           "release_batch"]
+
+
+def release_batch(new_feats: DataFrame, new_bands: DataFrame) -> None:
+    """Unpersist the per-batch cached tables returned by
+    :func:`incremental_near_dup_edges` — call after the edges are
+    materialized and the (new_feats, new_bands) rows are appended to
+    the index store. Without this, a long-lived session ingesting
+    many batches accumulates cached blocks (ADVICE r3)."""
+    new_feats.unpersist()
+    new_bands.unpersist()
 
 
 def build_dedup_index(norms: DataFrame, feature: str = "char",
@@ -69,7 +80,8 @@ def incremental_near_dup_edges(new_norms: DataFrame,
                                feature: str = "char",
                                shingle_w: int = spec.SHINGLE_W,
                                block_cap: int = spec.BLOCK_CAP,
-                               obs=None):
+                               obs=None,
+                               persist_batch: bool = True):
     """Near-dup edges (src, dst, sim) where at least one side is from
     the new batch — new-vs-corpus AND new-vs-new — plus the batch's
     own (new_feats, new_bands) for the caller to APPEND to the index
@@ -95,20 +107,35 @@ def incremental_near_dup_edges(new_norms: DataFrame,
     grows past the cap — those pairs are Jaccard-verified true
     near-dups regardless (precision is exact always; the cap is a
     recall heuristic). ``obs`` observes combined over-cap buckets
-    (canon.observe_dropped)."""
+    (canon.observe_dropped).
+
+    ``persist_batch=False`` skips the per-batch persists entirely
+    (each batch table then recomputes at each of its ~2 plan uses —
+    right for one-shot evaluations in a shared long-lived session,
+    e.g. the driver-contract run, where caller-side unpersisting is
+    impossible); with the default ``True``, call
+    :func:`release_batch` on the returned (new_feats, new_bands)
+    after committing the append."""
     new_feats = (canon.node_features(new_norms, feature=feature,
                                      shingle_w=shingle_w)
-                 .join(index_feats.select("node"), "node", "left_anti")
-                 .persist())
-    new_bands = canon.lsh_bands(
-        canon.minhash_signatures(new_feats)).persist()
+                 .join(index_feats.select("node"), "node", "left_anti"))
+    if persist_batch:
+        new_feats = new_feats.persist()
+    new_bands = canon.lsh_bands(canon.minhash_signatures(new_feats))
+    if persist_batch:
+        new_bands = new_bands.persist()
 
     # Touched index buckets only: broadcast the batch's key set so the
     # index side is a map-side semi-join — the index never shuffles.
     # keys.count() is an O(batch) job; it guards the hint, not the
-    # semantics.
+    # semantics. The persist exists only to keep the count job from
+    # recomputing the distinct; it is released immediately after — the
+    # later join recomputes the O(batch) distinct from new_bands
+    # rather than holding cached blocks for the session (ADVICE r3).
     keys = new_bands.select("band", "bhash").distinct().persist()
-    if keys.count() <= MAX_BROADCAST_KEYS:
+    n_keys = keys.count()
+    keys.unpersist()
+    if n_keys <= MAX_BROADCAST_KEYS:
         keys = F.broadcast(keys)
     touched = (index_bands.join(keys, ["band", "bhash"])
                .select("band", "bhash", "node",

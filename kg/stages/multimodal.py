@@ -33,14 +33,20 @@ def _decode_stub(payload: bytes) -> np.ndarray:
 
 
 def _feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # feat_mean via an EXACT integer byte sum, then one double divide:
+    # sum(bytes)/(n·255) is bit-identical to any other engine doing
+    # the same integer sum (a float .mean() would differ in the last
+    # ulp between summation orders, breaking external verification of
+    # the stub — the whole point of a deterministic fake decode).
     for pdf in it:
-        feats = [_decode_stub(p) for p in pdf["payload"]]
+        raw = [p[:256] for p in pdf["payload"]]
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"].astype("int64"),
             "n_bytes": [len(p) for p in pdf["payload"]],
             "kind": "bytes-stub",
-            "feat_mean": [round(float(f.mean()), 6) for f in feats],
-            "feat_dim": [f.size for f in feats],
+            "feat_mean": [round(sum(b) / (max(len(b), 1) * 255.0), 6)
+                          for b in raw],
+            "feat_dim": [max(len(b), 1) for b in raw],
         })
 
 
