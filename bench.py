@@ -172,7 +172,8 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
                  "join_range_window", "topk", "knn_cosine_bruteforce",
                  "ann_bucket_join", "udaf_confidence_merge",
                  "two_phase_salted_agg", "ngram_jaccard_pairs",
-                 "minhash_lsh_dedup", "text_quality_score"):
+                 "minhash_lsh_dedup", "text_quality_score",
+                 "token_count_bpe_learned"):
         fn, _ = contract.Q[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir)
               .write.mode("overwrite").format("noop").save())

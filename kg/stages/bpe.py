@@ -36,7 +36,30 @@ import pandas as pd
 
 from kg import spec
 
-__all__ = ["encode_word", "bpe_count_series", "with_bpe_symbol_count"]
+__all__ = ["encode_word", "bpe_count_series", "with_bpe_symbol_count",
+           "learned_merge_ranks"]
+
+
+def learned_merge_ranks() -> dict[tuple[str, str], int]:
+    """Rank table from the committed 600-merge learned artifact
+    (kg/bpe_merges_learned.tsv, produced deterministically by
+    tools/learn_bpe.py from the sf0.01 documents + datagen corpora).
+    Unlike the frozen 8-entry spec.BPE_MERGES (which certifies merge
+    SEMANTICS via the driver-hashed chain agreement), this table
+    exercises the merge loop in its production regime: chains up to
+    12 characters deep, rank scans over hundreds of pairs, heavy
+    unique-word cache reuse. Loaded via importlib.resources so it
+    resolves inside dist/kg.zip on executors, same as weights.npz."""
+    from importlib.resources import files
+
+    ranks: dict[tuple[str, str], int] = {}
+    for line in (files("kg") / "bpe_merges_learned.tsv"
+                 ).read_text(encoding="utf-8").splitlines():
+        if not line or line.startswith("#"):
+            continue
+        left, right = line.split("\t")
+        ranks[(left, right)] = len(ranks)
+    return ranks
 
 
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> tuple[str, ...]:
@@ -97,7 +120,8 @@ def bpe_count_series(texts: pd.Series,
 
 
 def with_bpe_symbol_count(df, text_col: str, out_col: str,
-                          merges: list[tuple[str, str]] | None = None):
+                          merges: list[tuple[str, str]] | None = None,
+                          ranks: dict[tuple[str, str], int] | None = None):
     """Append `out_col` = true-BPE merged-symbol count of `text_col`.
 
     Map-only mapInPandas (iterator form: the rank dict is built once
@@ -105,12 +129,17 @@ def with_bpe_symbol_count(df, text_col: str, out_col: str,
     defaults to the frozen spec table; pairs whose left side contains
     a sentinel are re-expressed through the sentinel expansion so the
     character-level merge loop sees real pairs (spec stores chained
-    merges as (sentinel+char) for the replace() path)."""
+    merges as (sentinel+char) for the replace() path). Pass ``ranks``
+    (a prebuilt (left, right) → rank dict, e.g.
+    :func:`learned_merge_ranks`) to skip the sentinel re-expression —
+    learned tables store natural symbol pairs."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     spark = df.sparkSession
-    table = merges if merges is not None else spec.BPE_MERGES
-    bc = spark.sparkContext.broadcast(spec.merge_ranks(table))
+    if ranks is None:
+        table = merges if merges is not None else spec.BPE_MERGES
+        ranks = spec.merge_ranks(table)
+    bc = spark.sparkContext.broadcast(ranks)
     cols = [f.name for f in df.schema.fields]
     # Fresh StructType — StructType.add would MUTATE the cached
     # df.schema in place and corrupt the input's schema view.

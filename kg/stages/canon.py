@@ -278,12 +278,35 @@ def near_duplicate_edges(norms: DataFrame,
 
 
 def simhash64(docs: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
-    """64-bit word-feature SimHash (Charikar 2002): per-word xxhash64
-    JVM-side, the per-bit ±1 majority vote as one vectorized numpy
-    pass per Arrow batch. → (id, simhash)."""
+              id_col: str = "doc_id",
+              word_hash: str = "xxhash64") -> DataFrame:
+    """Word-feature SimHash (Charikar 2002): per-word hash JVM-side,
+    the per-bit ±1 majority vote as one vectorized numpy pass per
+    Arrow batch. → (id, simhash).
+
+    ``word_hash='xxhash64'`` (default): 64-bit signatures — the
+    production fast path. ``word_hash='md5_60'``: 60-bit signatures
+    from the first 15 hex digits of md5(word) — same algorithm,
+    marginally slower hash, chosen so an EXTERNAL engine (the DuckDB
+    driver oracle) can recompute every signature bit-for-bit: md5 +
+    base conversion are portable, xxhash64 is Spark-private. The
+    majority vote is duplicate-sensitive (a word's hash votes once
+    per occurrence) in both variants."""
+    if word_hash == "xxhash64":
+        n_bits = 64
+        hashes = F.transform(F.split(F.lower(text_col), " "),
+                             lambda w: F.xxhash64(w))
+    elif word_hash == "md5_60":
+        n_bits = 60
+        hashes = F.transform(
+            F.split(F.lower(text_col), " "),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10)
+                       .cast("long"))
+    else:
+        raise ValueError(f"unknown word_hash {word_hash!r}")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        shifts = np.arange(64, dtype=np.uint64)
+        shifts = np.arange(n_bits, dtype=np.uint64)
         for pdf in it:
             out = np.empty(len(pdf), dtype=np.int64)
             for i, hs in enumerate(pdf["hashes"]):
@@ -295,10 +318,7 @@ def simhash64(docs: DataFrame, text_col: str = "text",
                           << shifts).sum().astype(np.int64)
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
-    return (docs.select(
-                id_col,
-                F.transform(F.split(F.lower(text_col), " "),
-                            lambda w: F.xxhash64(w)).alias("hashes"))
+    return (docs.select(id_col, hashes.alias("hashes"))
             .where(F.size("hashes") > 0)
             .mapInPandas(batches, schema=f"{id_col} long, simhash long"))
 
@@ -306,7 +326,7 @@ def simhash64(docs: DataFrame, text_col: str = "text",
 def simhash_near_pairs(sims: DataFrame, id_col: str = "doc_id",
                        max_hamming: int = 3, n_blocks: int = 4,
                        block_cap: int = spec.BLOCK_CAP,
-                       obs=None) -> DataFrame:
+                       obs=None, n_bits: int = 64) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ d (Manku,
     Jain & Das Sarma, WWW 2007, single-permutation block variant):
     split the 64-bit signature into ``n_blocks`` blocks — any pair
@@ -321,8 +341,10 @@ def simhash_near_pairs(sims: DataFrame, id_col: str = "doc_id",
     blocks ⇒ fewer false candidates but only a d ≤ n_blocks−1
     guarantee. Over-cap blocks are dropped — counted via ``obs`` (a
     ``pyspark.sql.Observation``) when supplied, same contract as
-    :func:`candidate_pairs`. Returns (src, dst, hamming), src < dst."""
-    width = 64 // n_blocks
+    :func:`candidate_pairs`. Returns (src, dst, hamming), src < dst.
+    ``n_bits`` must match the signature width (64 for the xxhash64
+    variant, 60 for md5_60) so blocks tile the signature exactly."""
+    width = n_bits // n_blocks
     mask = (1 << width) - 1
     blocks = F.array(*[
         F.struct(F.lit(b).alias("blk"),

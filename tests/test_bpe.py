@@ -121,3 +121,107 @@ def test_plan_is_map_only(spark):
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+# --- learned 600-merge table (kg/bpe_merges_learned.tsv) ------------
+
+
+def test_learned_table_loads_natural_pairs():
+    ranks = bpe.learned_merge_ranks()
+    assert len(ranks) == 600
+    assert list(ranks.values()) == list(range(600))
+    # natural symbol pairs — no sentinel characters, every symbol is
+    # the concatenation of earlier symbols or a single char
+    for left, right in ranks:
+        assert "" <= ""  # no-op guard for clarity
+        assert not any("" <= ch <= "" for ch in left + right)
+    # deep chains exist: some merged symbol is ≥ 8 chars
+    assert max(len(l + r) for l, r in ranks) >= 8
+
+
+def test_learned_encode_roundtrips_learner_segmentation():
+    """Apply-time == learn-time segmentation for in-vocabulary words:
+    encoding with the lowest-rank-first loop must reproduce exactly
+    the segmentation the learner produced by applying merges in rank
+    order (the standard BPE tokenizer property — Sennrich 2016). A
+    failure here means the committed table and the runtime encoder
+    disagree about what a 'token' is."""
+    ranks = bpe.learned_merge_ranks()
+    merges = [p for p, _ in sorted(ranks.items(), key=lambda kv: kv[1])]
+
+    def learner_apply(word: str) -> tuple[str, ...]:
+        syms = tuple(word)
+        for best in merges:  # rank order, exhaustive per rank
+            merged, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    merged.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = tuple(merged)
+        return syms
+
+    import duckdb
+
+    from kg import datagen
+
+    # the learner's own corpora: documents (31-word vocab, dominant
+    # by frequency) + datagen transcripts (557 words, the long tail)
+    words = set()
+    for (t,) in duckdb.sql(
+            "SELECT text FROM read_parquet("
+            "'/root/testdata/sf0.01/documents.parquet') "
+            "ORDER BY doc_id").fetchall():
+        words.update(w for w in t.lower().split(" ") if w)
+    pdf, _ = datagen.generate(n_conversations=200, seed=42)
+    for t in pdf["text"]:
+        words.update(w for w in t.lower().split(" ") if w)
+    assert len(words) > 400
+    for w in sorted(words):
+        assert bpe.encode_word(w, ranks) == learner_apply(w), w
+
+
+def test_learned_table_chains_fire_on_corpus():
+    """The regime the table exists for: on real corpus words, chained
+    merges collapse whole words — at least one corpus word must
+    encode to a SINGLE symbol of ≥ 6 chars, and counts must be
+    non-trivial (not every word hits 1 symbol — table is unsaturated)."""
+    import duckdb
+
+    from kg import datagen
+
+    ranks = bpe.learned_merge_ranks()
+    words = set()
+    for (t,) in duckdb.sql(
+            "SELECT text FROM read_parquet("
+            "'/root/testdata/sf0.001/documents.parquet') "
+            "ORDER BY doc_id LIMIT 100").fetchall():
+        words.update(w for w in t.lower().split(" ") if w)
+    encs = {w: bpe.encode_word(w, ranks) for w in words}
+    # top-frequency document words collapse through deep chains
+    assert any(len(e) == 1 and len(w) >= 6 for w, e in encs.items())
+    # ...but the table is NOT saturated: tail-vocabulary words (the
+    # datagen long tail the table was also learned on) still split
+    pdf, _ = datagen.generate(n_conversations=50, seed=42)
+    tail = set()
+    for t in pdf["text"]:
+        tail.update(w for w in t.lower().split(" ") if w)
+    tail_encs = [bpe.encode_word(w, ranks) for w in tail]
+    assert any(len(e) >= 3 for e in tail_encs)
+
+
+def test_with_learned_ranks_in_spark(spark):
+    ranks = bpe.learned_merge_ranks()
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, None), (3, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["n"]
+            for r in bpe.with_bpe_symbol_count(
+                df, "text", "n", ranks=ranks).collect()}
+    expect = sum(len(bpe.encode_word(w, ranks))
+                 for w in "the quick brown fox".split())
+    assert rows[1] == expect
+    assert rows[2] is None
+    assert rows[3] == 0

@@ -32,7 +32,7 @@ def _tree_files() -> list[str]:
         if "__pycache__" in dirpath:
             continue
         for f in files:
-            if f.endswith((".py", ".npz")):
+            if f.endswith((".py", ".npz", ".tsv")):
                 full = os.path.join(dirpath, f)
                 out.append(os.path.relpath(full, ROOT))
     return sorted(out)
