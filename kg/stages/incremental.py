@@ -81,7 +81,8 @@ def incremental_near_dup_edges(new_norms: DataFrame,
                                shingle_w: int = spec.SHINGLE_W,
                                block_cap: int = spec.BLOCK_CAP,
                                obs=None,
-                               persist_batch: bool = True):
+                               persist_batch: bool = True,
+                               carry: str | None = None):
     """Near-dup edges (src, dst, sim) where at least one side is from
     the new batch — new-vs-corpus AND new-vs-new — plus the batch's
     own (new_feats, new_bands) for the caller to APPEND to the index
@@ -165,7 +166,10 @@ def incremental_near_dup_edges(new_norms: DataFrame,
              .where(F.col("src") != F.col("dst"))
              .dropDuplicates(["src", "dst"]))
 
-    all_feats = (index_feats.select("node", "f")
-                 .union(new_feats.select("node", "f")))
-    edges = canon.verify_pairs(cands, all_feats, tau=tau)
+    # carry (see canon.verify_pairs): ride a feats column through the
+    # verify joins to the edge output — callers needing e.g.
+    # fingerprint keys on edges get them without re-joining
+    cols = ["node", "f"] + ([carry] if carry else [])
+    all_feats = (index_feats.select(*cols).union(new_feats.select(*cols)))
+    edges = canon.verify_pairs(cands, all_feats, tau=tau, carry=carry)
     return edges, new_feats, new_bands
