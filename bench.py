@@ -201,11 +201,16 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
     idx_bands.write.mode("overwrite").parquet(bdir)
     assert spark.read.parquet(fdir).limit(1).count() == 1, "empty index"
 
+    n_total = d.count()
+
     def inc_dedup():
         edges, nf, nb = incremental.incremental_near_dup_edges(
             d.where(F.col("doc_id") >= split).select("norm"),
             spark.read.parquet(fdir), spark.read.parquet(bdir),
-            tau=0.5, feature="word")
+            tau=0.5, feature="word",
+            # the ingest job knows its batch size — the guard uses
+            # hint × bands instead of an O(batch) count job
+            batch_count_hint=n_total - split)
         edges.write.mode("overwrite").format("noop").save()
         incremental.release_batch(nf, nb)
 

@@ -1565,15 +1565,19 @@ def incremental_lsh_dedup(spark, sf):
 
     d = _t(spark, sf, "documents").select("doc_id",
                                           F.lower("text").alias("norm"))
-    split = int(d.count() * 0.9)
+    n_total = d.count()
+    split = int(n_total * 0.9)
     old = d.where(F.col("doc_id") < split).select("norm")
     new = d.where(F.col("doc_id") >= split).select("norm")
     feats, bands = incremental.build_dedup_index(old, feature="word")
     # carry="norm" (see canon.verify_pairs): fingerprint keys ride
-    # the verify joins — zero extra joins, md5 on |edges| rows only
+    # the verify joins — zero extra joins, md5 on |edges| rows only;
+    # batch_count_hint: the guard's O(batch) count job is skipped —
+    # the split math already knows the batch size
     edges, _, _ = incremental.incremental_near_dup_edges(
         new, feats, bands, tau=0.5, feature="word",
-        persist_batch=False, carry="norm")
+        persist_batch=False, carry="norm",
+        batch_count_hint=n_total - split)
     fa, fb = F.md5("src_norm"), F.md5("dst_norm")
     return edges.select(F.least(fa, fb).alias("src_fp"),
                         F.greatest(fa, fb).alias("dst_fp"),

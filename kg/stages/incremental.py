@@ -82,7 +82,8 @@ def incremental_near_dup_edges(new_norms: DataFrame,
                                block_cap: int = spec.BLOCK_CAP,
                                obs=None,
                                persist_batch: bool = True,
-                               carry: str | None = None):
+                               carry: str | None = None,
+                               batch_count_hint: int | None = None):
     """Near-dup edges (src, dst, sim) where at least one side is from
     the new batch — new-vs-corpus AND new-vs-new — plus the batch's
     own (new_feats, new_bands) for the caller to APPEND to the index
@@ -116,7 +117,10 @@ def incremental_near_dup_edges(new_norms: DataFrame,
     e.g. the driver-contract run, where caller-side unpersisting is
     impossible); with the default ``True``, call
     :func:`release_batch` on the returned (new_feats, new_bands)
-    after committing the append."""
+    after committing the append. ``batch_count_hint``: an upper bound
+    on the batch's row count — lets the broadcast-safety guard use
+    hint × bands instead of running an O(batch) count job (an ingest
+    job always knows its batch size)."""
     new_feats = (canon.node_features(new_norms, feature=feature,
                                      shingle_w=shingle_w)
                  .join(index_feats.select("node"), "node", "left_anti"))
@@ -128,14 +132,22 @@ def incremental_near_dup_edges(new_norms: DataFrame,
 
     # Touched index buckets only: broadcast the batch's key set so the
     # index side is a map-side semi-join — the index never shuffles.
-    # keys.count() is an O(batch) job; it guards the hint, not the
-    # semantics. The persist exists only to keep the count job from
-    # recomputing the distinct; it is released immediately after — the
-    # later join recomputes the O(batch) distinct from new_bands
-    # rather than holding cached blocks for the session (ADVICE r3).
-    keys = new_bands.select("band", "bhash").distinct().persist()
-    n_keys = keys.count()
-    keys.unpersist()
+    # The broadcast-safety guard needs |keys|; callers that know the
+    # batch size (an ingest job always does) pass batch_count_hint and
+    # the guard becomes the free upper bound hint × MINHASH_BANDS —
+    # |distinct (band, bhash)| ≤ |batch rows| × bands — skipping the
+    # O(batch) count job. Without a hint, keys.count() guards it; the
+    # persist exists only to keep that count from recomputing the
+    # distinct and is released immediately after — the later join
+    # recomputes the O(batch) distinct from new_bands rather than
+    # holding cached blocks for the session (ADVICE r3).
+    keys = new_bands.select("band", "bhash").distinct()
+    if batch_count_hint is not None:
+        n_keys = batch_count_hint * spec.MINHASH_BANDS
+    else:
+        keys = keys.persist()
+        n_keys = keys.count()
+        keys.unpersist()
     if n_keys <= MAX_BROADCAST_KEYS:
         keys = F.broadcast(keys)
     touched = (index_bands.join(keys, ["band", "bhash"])

@@ -164,3 +164,32 @@ def test_singleton_buckets_matchable(spark):
     edges, _, _ = incremental.incremental_near_dup_edges(
         new, feats, bands, tau=0.5, feature="word")
     assert edges.count() == 1
+
+
+def test_option_paths_identical_edges(spark):
+    """persist_batch=False, batch_count_hint, and carry are pure
+    execution options: the edge set must be byte-identical to the
+    default path (the contract entry and bench use all three)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+
+    d = docs.select("doc_id", F.lower("text").alias("norm"))
+    n = d.count()
+    split = int(n * 0.9)
+    old = d.where(F.col("doc_id") < split).select("norm")
+    new = d.where(F.col("doc_id") >= split).select("norm")
+    feats, bands = incremental.build_dedup_index(old, feature="word")
+    base, nf, nb = incremental.incremental_near_dup_edges(
+        new, feats, bands, tau=0.5, feature="word")
+    opt, _, _ = incremental.incremental_near_dup_edges(
+        new, feats, bands, tau=0.5, feature="word",
+        persist_batch=False, carry="norm", batch_count_hint=n - split)
+    want = {(r["src"], r["dst"], round(r["sim"], 6))
+            for r in base.collect()}
+    got = {(r["src"], r["dst"], round(r["sim"], 6))
+           for r in opt.collect()}
+    assert want == got and want
+    # carry adds the payload columns without disturbing the core
+    assert {"src_norm", "dst_norm"} <= set(opt.columns)
+    incremental.release_batch(nf, nb)
