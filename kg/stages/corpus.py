@@ -82,13 +82,22 @@ def corpus_pipeline(docs: DataFrame,
     # normalize equally with different n_tokens, and first() is
     # partitioning-dependent. min(struct) ties n_tokens to the
     # winning (minimum) doc_id deterministically.
+    # localCheckpoint, not persist (r4): the survivor table has TWO
+    # consumers on either side of the eager components probe (LSH
+    # features before, the keep-join after). A persist must either
+    # leak for the session (ADVICE r3) or be released before the
+    # keep-join materializes — paying the QC+groupBy scan twice.
+    # localCheckpoint materializes once, truncates the lineage, and
+    # its blocks are reclaimed when the DataFrame is GC'd, so neither
+    # cost applies. Not fault-tolerant — at real scale stage this
+    # table to parquet/Iceberg instead (same plan shape).
     exact = (qc.groupBy("norm")
              .agg(F.min(F.struct("doc_id", "n_tokens")).alias("m"))
              .select("norm", F.col("m.doc_id").alias("doc_id"),
                      F.col("m.n_tokens").alias("n_tokens"))
-             .persist())
+             .localCheckpoint())
 
-    handles: list = [exact]
+    handles: list = []
     edges, feats = canon.near_duplicate_edges(
         exact.select("norm"), tau=tau, feature="word",
         return_feats=True, handles=handles)
@@ -98,11 +107,10 @@ def corpus_pipeline(docs: DataFrame,
     comp = canon.components_auto(feats.select("node"), edges)
     # components_auto consumed feats/banded/edges EAGERLY (driver
     # union-find collect, or localCheckpoint on the distributed
-    # branch), so comp no longer references them — release every
-    # cache now instead of leaking it for the session (ADVICE r3).
-    # Cost: the final keep-join recomputes `exact` once (its one
-    # remaining lazy consumer). At real scale, stage `exact` to a
-    # table (parquet/Iceberg) instead of relying on executor caches.
+    # branch), so comp no longer references them — release the LSH
+    # caches now instead of leaking them for the session (ADVICE r3;
+    # `exact` itself is a localCheckpoint, see above — nothing to
+    # release and nothing recomputes).
     for h in handles:
         h.unpersist()
     # Survivor = min doc_id per near-dup component (min(struct) ties
