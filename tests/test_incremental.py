@@ -193,3 +193,42 @@ def test_option_paths_identical_edges(spark):
     # carry adds the payload columns without disturbing the core
     assert {"src_norm", "dst_norm"} <= set(opt.columns)
     incremental.release_batch(nf, nb)
+
+
+def test_multi_batch_append_loop(spark):
+    """The actual day-2 loop, two real ingest batches deep: build the
+    index on old, dedup batch1, APPEND batch1's (feats, bands), dedup
+    batch2 against the grown index. The union of
+    index-build edges + batch1 edges + batch2 edges must equal the
+    one-shot edge set over old ∪ b1 ∪ b2 exactly — i.e. appending is
+    closed under iteration, not just for the first batch."""
+    full = _edge_set(canon.near_duplicate_edges(
+        _norms(spark), tau=0.5, feature="word"))
+
+    old = _norms(spark, "doc_id < 150")
+    b1 = _norms(spark, "doc_id >= 150 AND doc_id < 320")
+    b2 = _norms(spark, "doc_id >= 320")
+
+    old_edges = canon.near_duplicate_edges(old, tau=0.5, feature="word")
+    feats, bands = incremental.build_dedup_index(old, feature="word")
+
+    e1, nf1, nb1 = incremental.incremental_near_dup_edges(
+        b1, feats, bands, tau=0.5, feature="word")
+    got = _edge_set(old_edges) | _edge_set(e1)
+    # append-only commit: plain unions, no regroup or rewrite
+    feats2 = feats.unionByName(nf1.select(*feats.columns))
+    bands2 = bands.unionByName(nb1.select(*bands.columns))
+
+    e2, nf2, nb2 = incremental.incremental_near_dup_edges(
+        b2, feats2, bands2, tau=0.5, feature="word")
+    got |= _edge_set(e2)
+
+    assert got == full
+    # batch2 must have matched against batch1-APPENDED index rows,
+    # otherwise this test degenerates to two independent splits
+    b1_nodes = {r["node"] for r in nf1.select("node").collect()}
+    cross = [e for e in _edge_set(e2)
+             if e[0] in b1_nodes or e[1] in b1_nodes]
+    assert cross, "batch2 found no near-dup against batch1's rows"
+    incremental.release_batch(nf1, nb1)
+    incremental.release_batch(nf2, nb2)
