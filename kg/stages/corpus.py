@@ -54,7 +54,9 @@ def corpus_pipeline(docs: DataFrame,
                     tau: float = 0.5,
                     sample_mod: int | None = None,
                     pack_ctx: int = 2048,
-                    n_shards: int = 8) -> DataFrame:
+                    n_shards: int = 8,
+                    block_cap: int | None = None,
+                    obs=None) -> DataFrame:
     """documents(doc_id, text) → surviving rows with
     (doc_id, n_tokens, shard, pack_id, pack_offset).
 
@@ -97,10 +99,17 @@ def corpus_pipeline(docs: DataFrame,
                      F.col("m.n_tokens").alias("n_tokens"))
              .localCheckpoint())
 
+    # block_cap/obs: at extreme duplication (many near-dup variants
+    # of one document) LSH buckets can exceed the cap and drop —
+    # recall degrades OBSERVABLY (obs counts dropped buckets/nodes),
+    # never silently; raise block_cap when the duplication profile
+    # warrants it (tools/stress_corpus.py demonstrates both regimes).
     handles: list = []
     edges, feats = canon.near_duplicate_edges(
         exact.select("norm"), tau=tau, feature="word",
-        return_feats=True, handles=handles)
+        return_feats=True, handles=handles,
+        block_cap=block_cap if block_cap is not None else spec.BLOCK_CAP,
+        obs=obs)
     # node set from the PERSISTED feature table — not a recompute of
     # the QC + groupBy chain (the probe in components_auto is an
     # eager collect, so this reuse matters)
