@@ -122,3 +122,24 @@ def test_packing_window_is_sharded(spark):
         plan = _plan(df)
         assert "Window" in plan
         assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_dedup_fingerprints_ride_verify_joins(spark):
+    """The r4 carry fix, pinned: the minhash_lsh_dedup entry's plan
+    must contain EXACTLY the two node-keyed verify joins — the r3
+    regression attached fingerprints by re-joining the edge set (2
+    extra joins + an O(distinct norms) md5 scan, 2.9× the entry's
+    cost). md5 must appear only above the joins (on edge rows), never
+    as its own join input."""
+    from kg.contract import Q
+
+    import re
+
+    plan = _plan(Q["minhash_lsh_dedup"][0](spark, SF))
+    # formatted explain lists each operator twice (tree + detail);
+    # count the unique "(N) Op" detail headers
+    n_joins = len(re.findall(
+        r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+        r"BroadcastNestedLoopJoin|CartesianProduct)", plan))
+    assert n_joins == 2, f"expected exactly 2 verify joins:\n{plan}"
+    assert "md5" in plan
