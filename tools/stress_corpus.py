@@ -45,6 +45,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def build_stress_corpus(base, replicas: int, offset: int,
+                        perturb_tag: str = "xr"):
+    """base(doc_id, text) × replicas: replica r of doc d is an exact
+    duplicate unless (d + r) % 10 == 0, in which case one word
+    ' <tag><r>' is appended (a near-duplicate at shingle Jaccard
+    ≈ 0.93). Replica ids stack at d + r·offset; r=0 is the base
+    itself."""
+    from pyspark.sql import functions as F
+
+    r = base.sparkSession.range(replicas).withColumnRenamed("id", "r")
+    return (base.crossJoin(r)
+            .select(
+                (F.col("doc_id") + F.col("r") * offset)
+                .alias("doc_id"),
+                F.when(F.col("r") == 0, F.col("text"))
+                 .when((F.col("doc_id") + F.col("r")) % 10 != 0,
+                       F.col("text"))
+                 .otherwise(F.concat("text", F.lit(f" {perturb_tag}"),
+                                     F.col("r").cast("string")))
+                 .alias("text")))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=100,
@@ -66,17 +88,7 @@ def main() -> None:
     n_base = base.count()
     offset = n_base  # replica ids stack above the base id range
 
-    r = spark.range(args.replicas).withColumnRenamed("id", "r")
-    stress = (base.crossJoin(r)
-              .select(
-                  (F.col("doc_id") + F.col("r") * offset)
-                  .alias("doc_id"),
-                  F.when(F.col("r") == 0, F.col("text"))
-                   .when((F.col("doc_id") + F.col("r")) % 10 != 0,
-                         F.col("text"))
-                   .otherwise(F.concat("text", F.lit(" xr"),
-                                       F.col("r").cast("string")))
-                   .alias("text")))
+    stress = build_stress_corpus(base, args.replicas, offset)
 
     base_survivors = {
         row["doc_id"]
