@@ -186,22 +186,23 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
 
     d = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
          .select("doc_id", F.lower("text").alias("norm")))
-    split = int(d.count() * 0.9)
+    n_total = d.count()
+    split = int(n_total * 0.9)
     idx_feats, idx_bands = incremental.build_dedup_index(
         d.where(F.col("doc_id") < split).select("norm"), feature="word")
     # No leading underscore on the index dirs: Spark's path filter
     # treats _-prefixed basenames as hidden, so reads would only work
     # via the exact root path while logging "All paths were ignored"
     # — and a glob/parent-dir consumer would silently see zero files
-    # (ADVICE r3). Assert non-empty before timing so an empty-index
-    # read can never masquerade as a fast dedup.
+    # (ADVICE r3). Assert BOTH datasets non-empty before timing so an
+    # empty-index read can never masquerade as a fast dedup (an empty
+    # bands side alone would also zero out the touched buckets).
     fdir = os.path.join(".bench_data", "dedup_idx_feats")
     bdir = os.path.join(".bench_data", "dedup_idx_bands")
     idx_feats.write.mode("overwrite").parquet(fdir)
     idx_bands.write.mode("overwrite").parquet(bdir)
     assert spark.read.parquet(fdir).limit(1).count() == 1, "empty index"
-
-    n_total = d.count()
+    assert spark.read.parquet(bdir).limit(1).count() == 1, "empty bands"
 
     def inc_dedup():
         edges, nf, nb = incremental.incremental_near_dup_edges(

@@ -1083,7 +1083,16 @@ def minhash_lsh_dedup(spark, sf):
     Word shingles, not char-grams: char-grams over a shared
     vocabulary put unrelated docs at Jaccard 0.3–0.4 and degenerate
     banding to near-all-pairs (round-1: 673k pairs / 65 s — 83% of
-    the bench); 3-word shingles put unrelated docs at ≈0."""
+    the bench); 3-word shingles put unrelated docs at ≈0.
+
+    Persist note (deliberate, reviewed r4): near_duplicate_edges
+    caches feats+banded internally and this entry does NOT release
+    them — it is also the bench hot path, where the feature table has
+    three in-plan consumers and dropping the persist would triple the
+    dominant cost. In the driver-contract session the entry runs
+    once, so the residual cache is two small tables, LRU-evictable —
+    unlike the per-batch/per-call leaks fixed via persist_batch=False
+    and handles elsewhere."""
     from kg.stages import canon
 
     d = _t(spark, sf, "documents").select(F.lower("text").alias("norm"))
@@ -1228,9 +1237,9 @@ def kg_pipeline_cross_turn(spark, sf):
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
        'bytes-stub' AS kind,
-       round(CAST(list_aggregate(list_transform(
+       round(CAST(coalesce(list_aggregate(list_transform(
                  range(1, least(length(text), 256) + 1),
-                 i -> ascii(text[i])), 'sum') AS DOUBLE)
+                 i -> ascii(text[i])), 'sum'), 0) AS DOUBLE)
              / (greatest(least(length(text), 256), 1) * 255.0),
              6) AS feat_mean,
        CAST(greatest(least(length(text), 256), 1) AS INTEGER)

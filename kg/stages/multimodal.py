@@ -4,17 +4,17 @@ Opaque media payloads are ``binary`` columns with typed metadata. The
 Spark side — schema declaration, Arrow batch shape, mapInPandas
 signature, partition-parallel execution — is real and tested; the
 actual media decode is a deterministic STUB because no image/audio
-libraries exist in this container: ``_decode_stub`` derives fake but
-stable "features" from the payload bytes. Swap ``_decode_stub`` for a
-real decoder (PIL/torchaudio/ffmpeg) on a production cluster; nothing
-else changes.
+libraries exist in this container: ``_feature_batches`` derives fake
+but stable "features" straight from the payload bytes. On a
+production cluster, swap the per-batch feature computation inside
+``_feature_batches`` for a real decoder (PIL/torchaudio/ffmpeg);
+nothing else — schema, batching, call sites — changes.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -22,22 +22,13 @@ FEATURE_SCHEMA = ("doc_id bigint, n_bytes int, kind string, "
                   "feat_mean double, feat_dim int")
 
 
-def _decode_stub(payload: bytes) -> np.ndarray:
-    """Deterministic fake decode: bytes → pseudo-feature vector.
-    Raises nothing; a real decoder would parse the container format
-    here (or raise NotImplementedError for unsupported codecs)."""
-    arr = np.frombuffer(payload[:256], dtype=np.uint8).astype(np.float64)
-    if arr.size == 0:
-        arr = np.zeros(1)
-    return arr / 255.0
-
-
 def _feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    # feat_mean via an EXACT integer byte sum, then one double divide:
-    # sum(bytes)/(n·255) is bit-identical to any other engine doing
-    # the same integer sum (a float .mean() would differ in the last
-    # ulp between summation orders, breaking external verification of
-    # the stub — the whole point of a deterministic fake decode).
+    # THE REAL-DECODER SWAP POINT. The stub features below are an
+    # EXACT integer byte sum over the first 256 payload bytes, then
+    # one double divide: sum(bytes)/(n·255) is bit-identical to any
+    # other engine doing the same integer sum (a float .mean() would
+    # differ in the last ulp between summation orders, breaking the
+    # external hash-verification the driver-oracle pairing relies on).
     for pdf in it:
         raw = [p[:256] for p in pdf["payload"]]
         yield pd.DataFrame({

@@ -130,11 +130,14 @@ def test_learned_table_loads_natural_pairs():
     ranks = bpe.learned_merge_ranks()
     assert len(ranks) == 600
     assert list(ranks.values()) == list(range(600))
-    # natural symbol pairs — no sentinel characters, every symbol is
-    # the concatenation of earlier symbols or a single char
+    # natural symbol pairs — no private-use sentinel characters
+    # (the spec.BPE_MERGES replace()-chain encoding), and every
+    # multi-char symbol must be buildable from an earlier merge
+    merged = {left + right for left, right in ranks}
     for left, right in ranks:
-        assert "" <= ""  # no-op guard for clarity
         assert not any("" <= ch <= "" for ch in left + right)
+        for sym in (left, right):
+            assert len(sym) == 1 or sym in merged, sym
     # deep chains exist: some merged symbol is ≥ 8 chars
     assert max(len(l + r) for l, r in ranks) >= 8
 

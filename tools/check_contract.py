@@ -48,18 +48,21 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
         if isinstance(v, (float, np.floating)):
             # frame_rows pre-converts NaN to None; keep a tag anyway
             # in case a raw float path ever reaches here.
-            # Fixed scale 0.0001, not %.6g (ADVICE r3): the contract
-            # convention rounds every float aggregate to ≤4 decimals
-            # on both sides, so .4f is EXACT for them — %.6g silently
-            # compared 8+-digit sums at 6 significant digits.
-            return "f:nan" if np.isnan(v) else f"f:{float(v):.4f}"
+            # Fixed scale 1e-6, not %.6g (ADVICE r3): the contract
+            # convention rounds every float aggregate to a fixed ≤6
+            # decimals on both sides (most entries use 3-4; the
+            # multimodal features use 6), so .6f is EXACT for all of
+            # them — %.6g silently compared 8+-digit sums at 6
+            # significant digits, and .4f would under-compare the
+            # 6-decimal entries.
+            return "f:nan" if np.isnan(v) else f"f:{float(v):.6f}"
         if isinstance(v, decimal.Decimal):
             # Spark DECIMAL surfaces as decimal.Decimal while DuckDB's
             # .df() widens to float64 — quantize both to the same
-            # fixed 0.0001 scale (symmetric with the float branch)
+            # fixed 1e-6 scale (symmetric with the float branch)
             # so decimal comparisons stay full-precision above the
             # 6-significant-digit ceiling the old %.6g tag imposed
-            return f"f:{float(v):.4f}"
+            return f"f:{float(v):.6f}"
         if isinstance(v, (int, np.integer)):
             return f"i:{int(v)}"
         if v is None:
