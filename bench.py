@@ -147,6 +147,26 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
 
     timed("kg_extract_score", extract_score)
 
+    # --- alternative encoder + cross-turn window: the two pipeline
+    # variants a user can enable (--encoder attn, --cross-turn-k 1);
+    # benched so a regression in either path is visible, not just in
+    # the default configuration
+    bc_attn = score.broadcast_weights(spark, encoder="attn")
+
+    def extract_score_attn():
+        t0 = spark.read.parquet(t_path)
+        pipeline.extract_and_score(spark, t0, weights_bc=bc_attn) \
+            .write.mode("overwrite").format("noop").save()
+
+    timed("kg_extract_score_attn", extract_score_attn)
+
+    def e2e_cross_turn():
+        t0 = spark.read.parquet(t_path)
+        out = pipeline.run(spark, t0, weights_bc=bc, cross_turn_k=1)
+        out["triples"].write.mode("overwrite").format("noop").save()
+
+    timed("kg_e2e_cross_turn", e2e_cross_turn)
+
     # --- E3b: join THROUGH the ×100-hot conv_id under AQE skew-join
     # (VERDICT r2 #7). Dim side pre-materialized (bare exchange) and
     # shuffle partitions raised so the hot conversation is
