@@ -83,14 +83,17 @@ def score_bags(transcripts: DataFrame, weights_bc,
     dropped."""
     inst = _instance_logits(transcripts, weights_bc)
 
-    def per_bag(pdf: pd.DataFrame) -> pd.DataFrame:
-        L = np.array([np.asarray(x, dtype=np.float32)
-                      for x in pdf["logits"]])           # (n, K)
+    out_cols = ["head_norm", "tail_norm", "head_entity", "tail_entity",
+                "rel", "score", "bag_size"]
+    na_id = spec.REL_TO_ID[spec.NA_RELATION]
+
+    def bag_row(key, meta, logits):
         # one attention distribution over the bag's instances, query =
         # each instance's strongest non-NA evidence (Lin16's learned
         # query collapses to exactly this "relationness" signal when
         # the instance model is frozen); NA-dominated instances get
         # exponentially small weight
+        L = np.array(logits, dtype=np.float32)            # (n, K)
         q = L[:, 1:].max(axis=1)                          # (n,)
         a = np.exp(q - q.max())
         alpha = a / a.sum()
@@ -98,19 +101,42 @@ def score_bags(transcripts: DataFrame, weights_bc,
         z = bag_logit - bag_logit.max()
         probs = np.exp(z) / np.exp(z).sum()
         k = int(probs.argmax())
-        if k == spec.REL_TO_ID[spec.NA_RELATION] or probs[k] < threshold:
-            return pd.DataFrame(columns=[
-                "head_norm", "tail_norm", "head_entity", "tail_entity",
-                "rel", "score", "bag_size"])
-        return pd.DataFrame([{
-            "head_norm": pdf["head_norm"].iloc[0],
-            "tail_norm": pdf["tail_norm"].iloc[0],
-            "head_entity": pdf["head_entity"].iloc[0],
-            "tail_entity": pdf["tail_entity"].iloc[0],
-            "rel": spec.RELATIONS[k],
-            "score": np.float32(probs[k]),
-            "bag_size": len(pdf),
-        }])
+        if k == na_id or probs[k] < threshold:
+            return None
+        return (key[0], key[1], meta[0], meta[1],
+                spec.RELATIONS[k], float(probs[k]), len(logits))
 
-    return (inst.groupBy("head_norm", "tail_norm")
-            .applyInPandas(per_bag, schema=BAG_SCHEMA))
+    # Streaming group-by (r4, same rewrite as extract.cross_turn
+    # _instances): bags are naturally TINY (1–5 instances), so
+    # applyInPandas paid one pandas frame per bag — per-group overhead
+    # dominated. Same exchange, boundaries detected in-stream.
+    def stream(it):
+        key = meta = None
+        logits: list = []
+        out: list = []
+        for pdf in it:
+            for hn, tn, he, te, lg in zip(
+                    pdf["head_norm"], pdf["tail_norm"],
+                    pdf["head_entity"], pdf["tail_entity"],
+                    pdf["logits"]):
+                kk = (hn, tn)
+                if kk != key:
+                    if key is not None:
+                        row = bag_row(key, meta, logits)
+                        if row is not None:
+                            out.append(row)
+                    key, meta, logits = kk, (he, te), []
+                logits.append(np.asarray(lg, dtype=np.float32))
+            if len(out) >= 20_000:
+                yield pd.DataFrame(out, columns=out_cols)
+                out = []
+        if key is not None:
+            row = bag_row(key, meta, logits)
+            if row is not None:
+                out.append(row)
+        if out or key is None:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return (inst.repartition("head_norm", "tail_norm")
+            .sortWithinPartitions("head_norm", "tail_norm")
+            .mapInPandas(stream, schema=BAG_SCHEMA))
