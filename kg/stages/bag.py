@@ -106,36 +106,24 @@ def score_bags(transcripts: DataFrame, weights_bc,
         return (key[0], key[1], meta[0], meta[1],
                 spec.RELATIONS[k], float(probs[k]), len(logits))
 
-    # Streaming group-by (r4, same rewrite as extract.cross_turn
-    # _instances): bags are naturally TINY (1–5 instances), so
-    # applyInPandas paid one pandas frame per bag — per-group overhead
-    # dominated. Same exchange, boundaries detected in-stream.
+    # Streaming group-by (r4, same rewrite as
+    # extract.cross_turn_instances, via the shared
+    # kg.stages.grouped.stream_groups machine): bags are naturally
+    # TINY (1–5 instances), so applyInPandas paid one pandas frame
+    # per bag — per-group overhead dominated. Same exchange,
+    # boundaries detected in-stream.
+    def close(key, items):
+        meta = (items[0][0], items[0][1])
+        logits = [np.asarray(x[2], dtype=np.float32) for x in items]
+        row = bag_row(key, meta, logits)
+        return [row] if row is not None else []
+
     def stream(it):
-        key = meta = None
-        logits: list = []
-        out: list = []
-        for pdf in it:
-            for hn, tn, he, te, lg in zip(
-                    pdf["head_norm"], pdf["tail_norm"],
-                    pdf["head_entity"], pdf["tail_entity"],
-                    pdf["logits"]):
-                kk = (hn, tn)
-                if kk != key:
-                    if key is not None:
-                        row = bag_row(key, meta, logits)
-                        if row is not None:
-                            out.append(row)
-                    key, meta, logits = kk, (he, te), []
-                logits.append(np.asarray(lg, dtype=np.float32))
-            if len(out) >= 20_000:
-                yield pd.DataFrame(out, columns=out_cols)
-                out = []
-        if key is not None:
-            row = bag_row(key, meta, logits)
-            if row is not None:
-                out.append(row)
-        if out or key is None:
-            yield pd.DataFrame(out, columns=out_cols)
+        from kg.stages.grouped import stream_groups
+
+        yield from stream_groups(
+            it, ["head_norm", "tail_norm", "head_entity",
+                 "tail_entity", "logits"], 2, close, out_cols)
 
     return (inst.repartition("head_norm", "tail_norm")
             .sortWithinPartitions("head_norm", "tail_norm")

@@ -98,7 +98,6 @@ def cross_turn_instances(transcripts: DataFrame, k: int = 1,
     that span a chunk boundary (≤ k/chunk of the total) are dropped —
     the documented cap, not a silent truncation.
     """
-    import pandas as pd  # noqa: F811 (worker-side)
 
     cols = ["conv_id", "turn_idx", "head_surface", "tail_surface",
             "head_norm", "tail_norm", "head_mtype", "tail_mtype",
@@ -132,26 +131,11 @@ def cross_turn_instances(transcripts: DataFrame, k: int = 1,
         return rows
 
     def stream(it):
-        key = None
-        items: list = []
-        out: list = []
-        for pdf in it:
-            for conv_id, ch, ti, text in zip(
-                    pdf["conv_id"].to_numpy(), pdf["_chunk"].to_numpy(),
-                    pdf["turn_idx"].to_numpy(), pdf["text"].to_numpy()):
-                kk = (conv_id, ch)
-                if kk != key:
-                    if key is not None:
-                        out += group_pairs(key[0], items)
-                    key, items = kk, []
-                items.append((ti, text))
-            if len(out) >= 20_000:
-                yield pd.DataFrame(out, columns=cols)
-                out = []
-        if key is not None:
-            out += group_pairs(key[0], items)
-        if out or key is None:
-            yield pd.DataFrame(out, columns=cols)
+        from kg.stages.grouped import stream_groups
+
+        yield from stream_groups(
+            it, ["conv_id", "_chunk", "turn_idx", "text"], 2,
+            lambda key, items: group_pairs(key[0], items), cols)
 
     from pyspark.sql import functions as F
 

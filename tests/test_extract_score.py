@@ -100,3 +100,41 @@ def test_link_exact_broadcast(spark):
     assert by["acme corp"]["head_entity"] == "Acme Corp"
     assert by["acme corp"]["head_entity_score"] == 1.0
     assert by["unknown thing"]["head_entity"] is None
+
+
+def test_stream_groups_state_machine():
+    """The shared streaming group-by (kg/stages/grouped.py) behind
+    cross_turn_instances and score_bags: groups spanning Arrow batch
+    boundaries stay whole, the output buffer flushes at group CLOSE
+    (bounded even within one dense batch), a flush never splits a
+    group, and an empty partition yields one empty correctly-columned
+    frame."""
+    import pandas as pd
+
+    from kg.stages.grouped import stream_groups
+
+    def frames():
+        # group 'a' spans both frames; 'b' lives in frame 2
+        yield pd.DataFrame({"g": ["a", "a"], "v": [1, 2]})
+        yield pd.DataFrame({"g": ["a", "b", "b"], "v": [3, 4, 5]})
+
+    def close(key, items):
+        return [(key[0], sum(v[0] for v in items), len(items))]
+
+    out = pd.concat(list(stream_groups(
+        frames(), ["g", "v"], 1, close, ["g", "s", "n"])))
+    got = {r.g: (r.s, r.n) for r in out.itertuples()}
+    assert got == {"a": (6, 3), "b": (9, 2)}
+
+    # flush bound: with flush_rows=1, every group close flushes, and
+    # no frame ever contains a partially-closed group
+    chunks = list(stream_groups(
+        frames(), ["g", "v"], 1, close, ["g", "s", "n"], flush_rows=1))
+    assert [len(c) for c in chunks] == [1, 1]
+    assert list(pd.concat(chunks)["g"]) == ["a", "b"]
+
+    # empty input: one empty frame with the right columns
+    empty = list(stream_groups(
+        iter([]), ["g", "v"], 1, close, ["g", "s", "n"]))
+    assert len(empty) == 1 and list(empty[0].columns) == ["g", "s", "n"]
+    assert empty[0].empty
