@@ -36,6 +36,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base-convs", type=int, default=500)
     ap.add_argument("--replicas", type=int, default=64)
+    ap.add_argument("--cross-turn-k", type=int, default=0,
+                    help="also exercise the ±k cross-turn pairing "
+                         "path (the r4 streaming-mapInPandas rewrite) "
+                         "under the same invariants")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -65,10 +69,12 @@ def main() -> None:
                                      "confidence",
                                      "n_support").collect()}
 
-    want = triple_map(pipeline.run(spark, base)["triples"])
+    want = triple_map(pipeline.run(
+        spark, base, cross_turn_k=args.cross_turn_k)["triples"])
 
     t0 = time.time()
-    got = triple_map(pipeline.run(spark, stress)["triples"])
+    got = triple_map(pipeline.run(
+        spark, stress, cross_turn_k=args.cross_turn_k)["triples"])
     dt = time.time() - t0
 
     keys_match = set(got) == set(want)
@@ -81,6 +87,7 @@ def main() -> None:
         "n_turns": n_turns,
         "n_turns_base": n_turns_base,
         "n_triples": len(got),
+        "cross_turn_k": args.cross_turn_k,
         "keys_match": keys_match,
         "confidence_match": conf_match,
         "support_times_k": support_match,
