@@ -138,3 +138,31 @@ def test_stream_groups_state_machine():
         iter([]), ["g", "v"], 1, close, ["g", "s", "n"]))
     assert len(empty) == 1 and list(empty[0].columns) == ["g", "s", "n"]
     assert empty[0].empty
+
+
+def test_cross_turn_partitioning_independence(spark):
+    """The streaming group-by path must produce the identical instance
+    multiset under any shuffle-partition count — a group is never
+    split across partitions (repartition on the full group key) and
+    never truncated at an Arrow batch boundary (stream_groups buffers
+    the open group)."""
+    from kg import datagen, schemas
+    from kg.stages import extract
+
+    pdf, _ = datagen.generate(n_conversations=40, seed=42)
+    t0 = spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+
+    def multiset(n_parts):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        try:
+            rows = extract.cross_turn_instances(
+                t0.repartition(n_parts), k=1).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        return sorted((r["conv_id"], r["turn_idx"], r["head_norm"],
+                       r["tail_norm"], r["head_pos"], r["tail_pos"])
+                      for r in rows)
+
+    a, b = multiset(3), multiset(17)
+    assert a == b and a
