@@ -36,6 +36,29 @@ BENCH_CONVS = int(os.environ.get("KG_BENCH_CONVS", "8000"))
 BENCH_SKEW = 100
 
 
+def host_noise_keys() -> dict:
+    """Machine-readable noise calibration (VERDICT r3 #5 / r4 #3):
+    ``loadavg`` — /proc/loadavg at measurement time (this host is
+    time-shared; numbers taken at loadavg ≫ ncpu are co-tenant noise,
+    not engine regressions) — and ``calibration_sec`` — wall time of a
+    FIXED single-threaded numpy matmul (600×600, 30 reps, seed-free
+    deterministic shape), so cross-round per-query deltas can be
+    divided by the host-speed drift instead of eyeballed from BENCH.md
+    prose. On an idle host calibration_sec ≈ 0.08 s (BLAS may
+    multithread the matmul; that too is part of the host's effective
+    speed, which is what the number normalizes)."""
+    import numpy as np
+
+    with open("/proc/loadavg") as f:
+        loadavg = [float(x) for x in f.read().split()[:3]]
+    a = np.full((600, 600), 1.0 / 600, dtype=np.float64)
+    t0 = time.perf_counter()
+    for _ in range(30):
+        a = a @ a
+    calib = time.perf_counter() - t0
+    return {"loadavg": loadavg, "calibration_sec": round(calib, 3)}
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -310,12 +333,14 @@ def main() -> None:
             "n_turns": best[hi]["n_turns"],
             "queries": {f"local{c}": {"e2e_trials_sec": r["trials"]}
                         for c, r in best.items()},
+            **host_noise_keys(),
         }
         print(json.dumps(payload))
         _write_bench_md(payload)
         return
 
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    noise = host_noise_keys()  # sampled BEFORE the run, like loadavg
     r = run_queries(cpus, sf_dir)
     payload = {
         "metric": "headline_query_seconds",
@@ -326,6 +351,7 @@ def main() -> None:
         "cpus": cpus,
         "n_turns": r["n_turns"],
         "turns_per_sec": r["turns_per_sec"],
+        **noise,
     }
     print(json.dumps(payload))
 

@@ -37,7 +37,7 @@ import pandas as pd
 from kg import spec
 
 __all__ = ["encode_word", "bpe_count_series", "with_bpe_symbol_count",
-           "learned_merge_ranks"]
+           "learned_merge_ranks", "parse_merge_table"]
 
 
 def learned_merge_ranks() -> dict[tuple[str, str], int]:
@@ -52,12 +52,28 @@ def learned_merge_ranks() -> dict[tuple[str, str], int]:
     resolves inside dist/kg.zip on executors, same as weights.npz."""
     from importlib.resources import files
 
+    return parse_merge_table(
+        (files("kg") / "bpe_merges_learned.tsv")
+        .read_text(encoding="utf-8").splitlines())
+
+
+def parse_merge_table(lines) -> dict[tuple[str, str], int]:
+    """Strict merge-table parser (ADVICE r4): a degenerate regenerated
+    artifact fails LOUDLY at load instead of silently corrupting merge
+    order. Comment = a full '#'-led line WITHOUT a tab — a real merge
+    whose left symbol starts with '#' always carries the tab separator
+    and must load (the committed artifact has no such merge, but a
+    regenerated one could). A duplicate pair would reassign the pair
+    to a later rank without advancing other ranks → raise."""
     ranks: dict[tuple[str, str], int] = {}
-    for line in (files("kg") / "bpe_merges_learned.tsv"
-                 ).read_text(encoding="utf-8").splitlines():
-        if not line or line.startswith("#"):
+    for line in lines:
+        if not line or (line.startswith("#") and "\t" not in line):
             continue
         left, right = line.split("\t")
+        if (left, right) in ranks:
+            raise ValueError(
+                f"duplicate merge pair {(left, right)!r} in merge "
+                "table — regenerate with tools/learn_bpe.py")
         ranks[(left, right)] = len(ranks)
     return ranks
 

@@ -31,9 +31,70 @@ from pyspark.sql import DataFrame, functions as F
 from kg import spec
 from kg.stages import canon
 
-__all__ = ["corpus_pipeline"]
+__all__ = ["corpus_pipeline", "gopher_quality_cols"]
 
 STOPWORDS = spec.STOPWORDS  # one shared definition, no drift
+
+#: Gopher/MassiveText quality-rule bounds (Rae et al. 2021, §A1.1):
+#: mean word length within [3, 10] characters; symbol-to-word ratio
+#: ('#' or '...') ≤ 0.1; ≤ 90% of lines starting with a bullet;
+#: ≤ 30% of lines ending with an ellipsis; ≥ 80% of words containing
+#: at least one alphabetic character.
+GOPHER_MEAN_WORD_LEN = (3.0, 10.0)
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+
+
+def gopher_quality_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the Gopher/MassiveText document-quality battery (Rae et
+    al. 2021, §A1.1) as five measured columns plus the composite
+    ``gopher_keep`` flag: ``mean_word_len``, ``symbol_ratio``,
+    ``bullet_line_frac``, ``ellipsis_line_frac``, ``alpha_word_frac``,
+    each rounded to 4 decimals (the keep flag compares the ROUNDED
+    values, so an external engine recomputing the battery reaches the
+    identical decision at every boundary).
+
+    All five rules are JVM-side scalar/array expressions (split +
+    higher-order filter/transform) — no UDF, no shuffle, pure map
+    work that composes with any scan. Complements the repetition QC
+    (duplicate-3-gram rule, contract.doc_repetition_filter): that one
+    kills degenerate REPETITION, this battery kills degenerate
+    CHARACTER/LAYOUT shapes (keyboard mash, bullet spam, ellipsis
+    teasers, symbol noise)."""
+    words = F.split(F.col(text_col), " ")
+    lines = F.split(F.col(text_col), "\n")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    sum_len = F.aggregate(F.transform(words, F.length),
+                          F.lit(0), lambda a, x: a + x)
+    txt = F.col(text_col)
+    n_sym = ((F.length(txt) - F.length(F.expr(
+                  f"replace({text_col}, '#', '')")))
+             + (F.length(txt) - F.length(F.expr(
+                   f"replace({text_col}, '...', '')"))) / 3)
+    n_bullet = F.size(F.filter(
+        lines, lambda l: l.startswith("- ") | l.startswith("* ")
+        | l.startswith("• ")))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda l: l.endswith("...") | l.endswith("…")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    out = df.withColumns({
+        "mean_word_len": F.round(sum_len / n_words, 4),
+        "symbol_ratio": F.round(n_sym / n_words, 4),
+        "bullet_line_frac": F.round(n_bullet / n_lines, 4),
+        "ellipsis_line_frac": F.round(n_ellipsis / n_lines, 4),
+        "alpha_word_frac": F.round(n_alpha / n_words, 4),
+    })
+    lo, hi = GOPHER_MEAN_WORD_LEN
+    return out.withColumn(
+        "gopher_keep",
+        F.col("mean_word_len").between(lo, hi)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_FRAC)
+        & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC))
 
 
 def _qc_cols(df: DataFrame) -> DataFrame:
@@ -56,7 +117,8 @@ def corpus_pipeline(docs: DataFrame,
                     pack_ctx: int = 2048,
                     n_shards: int = 8,
                     block_cap: int | None = None,
-                    obs=None) -> DataFrame:
+                    obs=None,
+                    gopher: bool = False) -> DataFrame:
     """documents(doc_id, text) → surviving rows with
     (doc_id, n_tokens, shard, pack_id, pack_offset).
 
@@ -75,10 +137,19 @@ def corpus_pipeline(docs: DataFrame,
     - Sample: keep iff md5-prefix % ``sample_mod`` == 0 (skipped when
       None — sampling is policy, not hygiene).
     - Pack: per-shard (doc_id % n_shards) concat-then-chunk into
-      ``pack_ctx``-token windows in doc_id order."""
+      ``pack_ctx``-token windows in doc_id order.
+    - ``gopher=True`` additionally applies the Gopher/MassiveText
+      character/layout battery (:func:`gopher_quality_cols`) in the
+      same QC map stage — still zero extra shuffles."""
     qc = (_qc_cols(docs)
           .where((F.col("n_tokens") >= min_tokens)
                  & (F.col("stopword_ratio") > min_stopword_ratio)))
+    if gopher:
+        qc = (gopher_quality_cols(qc)
+              .where("gopher_keep")
+              .drop("mean_word_len", "symbol_ratio", "bullet_line_frac",
+                    "ellipsis_line_frac", "alpha_word_frac",
+                    "gopher_keep"))
 
     # min(struct) — NOT first(): docs with different raw text can
     # normalize equally with different n_tokens, and first() is

@@ -228,3 +228,25 @@ def test_with_learned_ranks_in_spark(spark):
     assert rows[1] == expect
     assert rows[2] is None
     assert rows[3] == 0
+
+
+def test_parse_merge_table_degenerate_inputs():
+    """ADVICE r4: duplicate pairs raise (silent rank reassignment
+    corrupted relative merge order); a merge whose LEFT symbol starts
+    with '#' is a merge, not a comment; tab-free '#' lines stay
+    comments."""
+    import pytest
+
+    ok = bpe.parse_merge_table(["# header comment", "", "a\tb", "ab\tc"])
+    assert ok == {("a", "b"): 0, ("ab", "c"): 1}
+    # '#'-led line WITH a tab is a real merge
+    hashed = bpe.parse_merge_table(["#\t#", "##\t!"])
+    assert hashed == {("#", "#"): 0, ("##", "!"): 1}
+    with pytest.raises(ValueError, match="duplicate merge pair"):
+        bpe.parse_merge_table(["a\tb", "c\td", "a\tb"])
+
+
+def test_committed_merge_table_is_clean():
+    """The shipped artifact parses under the strict rules (no dupes,
+    600 merges)."""
+    assert len(bpe.learned_merge_ranks()) == 600

@@ -64,10 +64,56 @@ def test_driver_window_packs_oracle_entries_first():
     assert all(not o for o in is_oracle[first_rows_only:])
     # with ≥50 oracle entries the whole window must be oracle-paired
     assert sum(is_oracle) >= 50
-    assert all(is_oracle[:50])
+    assert all(is_oracle[:contract.DRIVER_WINDOW])
     # the flagship pipeline leads the rows-only tail — it is the
     # driver's entry() smoke query, so it still gets driver signal
     assert names[first_rows_only] == "kg_pipeline_triples"
+
+
+def test_driver_window_in_out_split_is_the_declared_one():
+    """ADVICE r4 (medium): the window accounting must be EXPLICIT —
+    this test states which oracle entries are expected to sit past the
+    driver's 50-slot window and fails if registry growth silently
+    changes the split. Every entry allowed past the window must be in
+    WINDOW_TAIL (long-stable, self-hash-pinned — see test_pins.py);
+    the never-yet-certified entries must be inside."""
+    names = list(contract.queries())
+    osql = contract.oracle_sql()
+    in_window = set(names[:contract.DRIVER_WINDOW])
+    out_oracle = {n for n in names[contract.DRIVER_WINDOW:] if n in osql}
+    # exactly the rotation tail overflows, nothing else
+    assert out_oracle == set(contract.WINDOW_TAIL)
+    # the round-5 rotation goal: first-ever driver certification
+    for n in ("doc_repetition_filter", "approx_distinct",
+              "gopher_quality_filter"):
+        assert n in in_window, n
+    # tail members really are oracle-paired (a rows-only name in the
+    # tuple would silently shrink the oracle set instead of rotating)
+    assert all(n in osql for n in contract.WINDOW_TAIL)
+
+
+def test_oracle_float_columns_are_rounded(duck):
+    """ADVICE r4 (low): the .6f value-hash tag in the driver replica
+    is only sound if every float an oracle emits is pre-rounded to ≤6
+    decimals on both sides — otherwise engine summation-order ulp
+    noise flakes the hash. Enforce the convention programmatically:
+    run every oracle on DuckDB and assert each float value roundtrips
+    through round(v, 6). An unrounded aggregate (avg/sum of many
+    floats) essentially always carries digits past 1e-6 and fails
+    here; values whose ulp exceeds 1e-6 (≥ ~1e10) pass trivially,
+    which is exactly when .6f stops distinguishing anyway."""
+    import math
+
+    for name, sql in contract.oracle_sql().items():
+        pdf = duck.execute(sql).df()
+        for col in pdf.columns:
+            if pdf[col].dtype.kind != "f":
+                continue
+            for v in pdf[col]:
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    continue
+                assert round(float(v), 6) == float(v), \
+                    f"{name}.{col}: unrounded float {v!r}"
 
 
 def test_simhash_word_identical_docs_share_bucket(spark):

@@ -102,3 +102,59 @@ def test_degenerate_inputs(spark):
     junk = spark.createDataFrame([(1, "x"), (2, "zz qq")],
                                  "doc_id long, text string")
     assert corpus.corpus_pipeline(junk).count() == 0
+
+
+def test_gopher_each_rule_fires(spark):
+    """One crafted document per Gopher rule (Rae21 §A1.1), each
+    violating EXACTLY its own rule — plus a clean doc that passes all
+    five. The production corpus can only exercise the mean-word-length
+    measurement (it is single-line pure words — the driver oracle
+    certifies the arithmetic there); this is where each rule's FIRING
+    behavior is pinned."""
+    ok = "the quick brown fox jumps over the lazy dog again today"
+    rows = [
+        (0, ok),                                     # passes all
+        (1, "a a a a a a a a a a"),                  # mean len 1 < 3
+        (2, "pneumonoultramicroscopicsilicovolcanoconiosis " * 3),
+        (3, "# # # # hash tags # # everywhere # # # yes"),
+        (4, "- one\n- two\n- three\n- four\nplain line here"),
+        (5, "wait for it...\nmore to come...\nnot this line"),
+        (6, "1 2 3 4 5 6 7 8 words 10"),             # alpha frac 0.1
+    ]
+    out = {r["doc_id"]: r for r in corpus.gopher_quality_cols(
+        spark.createDataFrame(rows, "doc_id long, text string"))
+        .collect()}
+    assert out[0]["gopher_keep"] is True
+    assert out[1]["gopher_keep"] is False and out[1]["mean_word_len"] < 3
+    assert out[2]["gopher_keep"] is False and out[2]["mean_word_len"] > 10
+    assert out[3]["gopher_keep"] is False and out[3]["symbol_ratio"] > 0.1
+    # doc 4: 4 of 5 lines bullet-led → 0.8 ≤ 0.9 passes; make the
+    # failing variant explicit
+    assert out[4]["bullet_line_frac"] == 0.8 and out[4]["gopher_keep"]
+    assert out[5]["gopher_keep"] is False
+    assert abs(out[5]["ellipsis_line_frac"] - 2 / 3) < 1e-3
+    assert out[6]["gopher_keep"] is False
+    assert out[6]["alpha_word_frac"] == 0.1
+
+    all_bullets = spark.createDataFrame(
+        [(7, "\n".join(["- item"] * 19 + ["x"]))],
+        "doc_id long, text string")
+    r7 = corpus.gopher_quality_cols(all_bullets).collect()[0]
+    assert r7["bullet_line_frac"] == 0.95 and r7["gopher_keep"] is False
+
+
+def test_gopher_gate_in_pipeline(spark):
+    """gopher=True composes into the QC stage: a bullet-spam doc that
+    passes the base QC (enough tokens + stopwords) is dropped, the
+    rest of the pipeline is unchanged for clean docs."""
+    spam_line = "- the data is a big table of the fast rows"
+    rows = [(1, "\n".join([spam_line] * 20)),
+            (2, "the small query joins the big table on a key for "
+                "the fast scan of all rows")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r["doc_id"]
+            for r in corpus.corpus_pipeline(docs).collect()}
+    gated = {r["doc_id"]
+             for r in corpus.corpus_pipeline(docs, gopher=True).collect()}
+    assert base == {1, 2}
+    assert gated == {2}
