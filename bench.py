@@ -253,7 +253,11 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
             spark.read.parquet(fdir), spark.read.parquet(bdir),
             tau=0.5, feature="word",
             # the ingest job knows its batch size — the guard uses
-            # hint × bands instead of an O(batch) count job
+            # hint × bands instead of an O(batch) count job. Sound
+            # here because doc_id is dense 0..n-1 in the testdata
+            # (ADVICE r4: gapped ids would make n_total - split an
+            # UNDER-count of where(doc_id >= split) — use a real
+            # count then)
             batch_count_hint=n_total - split)
         edges.write.mode("overwrite").format("noop").save()
         incremental.release_batch(nf, nb)

@@ -1588,7 +1588,11 @@ def incremental_lsh_dedup(spark, sf):
     # carry="norm" (see canon.verify_pairs): fingerprint keys ride
     # the verify joins — zero extra joins, md5 on |edges| rows only;
     # batch_count_hint: the guard's O(batch) count job is skipped —
-    # the split math already knows the batch size
+    # the split math already knows the batch size BECAUSE doc_id is
+    # dense 0..n-1 in every testdata parquet (ADVICE r4: with gapped
+    # ids, where(doc_id >= split) could exceed n_total - split and the
+    # "upper bound" would be wrong — derive the hint from a real count
+    # when density is not guaranteed)
     edges, _, _ = incremental.incremental_near_dup_edges(
         new, feats, bands, tau=0.5, feature="word",
         persist_batch=False, carry="norm",

@@ -120,7 +120,14 @@ def incremental_near_dup_edges(new_norms: DataFrame,
     after committing the append. ``batch_count_hint``: an upper bound
     on the batch's row count — lets the broadcast-safety guard use
     hint × bands instead of running an O(batch) count job (an ingest
-    job always knows its batch size)."""
+    job always knows its batch size). It must be a TRUE upper bound:
+    a hint derived from id arithmetic (e.g. ``n_total - split``) is
+    only valid when ids are dense 0..n-1 — with gapped or sparse ids
+    a ``where(id >= split)`` batch can hold more rows than the
+    difference, the guard would under-count keys, and an oversized
+    key set could be broadcast (ADVICE r4). When density is not
+    guaranteed, pass the batch's actual count or leave the hint None
+    and pay the count job."""
     new_feats = (canon.node_features(new_norms, feature=feature,
                                      shingle_w=shingle_w)
                  .join(index_feats.select("node"), "node", "left_anti"))
