@@ -27,8 +27,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kg import spec
-from kg.stages import (canon, checkpoint, extract, link, metrics, score,
-                       triples)
+from kg.stages import canon, checkpoint, link, metrics, score, triples
 
 
 def resolve_entities(scored: DataFrame, dict_df: DataFrame,
@@ -99,22 +98,34 @@ def extract_and_score(spark: SparkSession, transcripts: DataFrame,
                       cross_turn_k: int = 0) -> DataFrame:
     """B1–B5 extraction. ``cross_turn_k > 0`` additionally scores
     mention pairs spanning ≤ k turns within a conversation (B3's ±k
-    window, extract.cross_turn_instances): one extra conv-keyed
-    shuffle; the frozen scorers were trained on intra-turn instances,
-    so cross-turn pairs score conservatively (mostly NA) — the wiring
-    is the capability, a cross-turn-trained checkpoint is the tuning
-    knob."""
+    window, score.extract_and_score_cross_turn_fused): one extra
+    conv-keyed shuffle, with pairing/scoring/exact-linking fused into
+    that pass's single streaming mapInPandas; the frozen scorers were
+    trained on intra-turn instances, so cross-turn pairs score
+    conservatively (mostly NA) — the wiring is the capability, a
+    cross-turn-trained checkpoint is the tuning knob."""
     if weights_bc is None:
         weights_bc = score.broadcast_weights(spark)
     fused = score.extract_and_score_fused(transcripts, weights_bc,
                                           threshold=threshold)
     if not cross_turn_k:
         return fused
-    inst = extract.cross_turn_instances(transcripts, k=cross_turn_k)
-    xscored = score.score_instances(inst, weights_bc, threshold=threshold)
-    xlinked = link.link_instances(xscored, link.dictionary_df(spark))
-    return fused.unionByName(
-        xlinked.select([f.name for f in score.FUSED_SCHEMA.fields]))
+    # r5: the cross-turn window runs as ONE fused streaming
+    # mapInPandas (pairing + scoring + exact linking in the same
+    # Python worker — was three chained stages with token_ids paying
+    # an extra Arrow round-trip, then two broadcast joins), unioned
+    # with the shuffle-free intra pass. Measured on local[32]: this
+    # union shape beats the single-scan alternative
+    # (score.extract_and_score_conv_fused — one scan, one tokenize,
+    # but ALL Python work serialized into the post-shuffle stage) by
+    # ~25% because the two passes are independent stages Spark
+    # overlaps; prefer conv_fused only when the SCAN dominates (very
+    # wide rows / remote object store), not when extraction CPU does.
+    # All three surfaces are equivalence-pinned in
+    # tests/test_extract_score.py.
+    xfused = score.extract_and_score_cross_turn_fused(
+        transcripts, weights_bc, k=cross_turn_k, threshold=threshold)
+    return fused.unionByName(xfused)
 
 
 def run(spark: SparkSession, transcripts: DataFrame,

@@ -99,52 +99,77 @@ def cross_turn_instances(transcripts: DataFrame, k: int = 1,
     the documented cap, not a silent truncation.
     """
 
-    cols = ["conv_id", "turn_idx", "head_surface", "tail_surface",
-            "head_norm", "tail_norm", "head_mtype", "tail_mtype",
-            "token_ids", "head_pos", "tail_pos"]
-
-    def group_pairs(conv_id, items: list) -> list:
-        from kg import nlp, spec
-
-        turns = []
-        for turn_idx, text in items:
-            toks = spec.tokenize(text or "")
-            mens = nlp.find_mentions(toks)[:cap_per_turn]
-            if mens:
-                turns.append((int(turn_idx), toks, mens))
-        rows = []
-        for i, (ti, toks_i, mens_i) in enumerate(turns):
-            for tj, toks_j, mens_j in turns[i + 1:]:
-                if tj - ti > k:
-                    break
-                joined = toks_i + ["."] + toks_j
-                ids = spec.token_ids(joined)
-                off = len(toks_i) + 1
-                for a in mens_i:
-                    for b in mens_j:
-                        rows.append((conv_id, ti,
-                                     a["surface"], b["surface"],
-                                     a["norm"], b["norm"],
-                                     a["mtype"], b["mtype"],
-                                     ids, a["span_start"],
-                                     b["span_start"] + off))
-        return rows
+    n_pair = len(XT_PAIR_COLS) - 2  # slice off the canonical slots
 
     def stream(it):
         from kg.stages.grouped import stream_groups
 
         yield from stream_groups(
             it, ["conv_id", "_chunk", "turn_idx", "text"], 2,
-            lambda key, items: group_pairs(key[0], items), cols)
+            lambda key, items: [r[:n_pair] for r in xt_group_pairs(
+                key[0], items, k, cap_per_turn)],
+            XT_PAIR_COLS[:n_pair])
 
+    return (cross_turn_prepared(transcripts, chunk)
+            .mapInPandas(stream, schema=schemas.MENTION_PAIRS))
+
+
+#: cross-turn pair payload: the MENTION_PAIRS columns plus the
+#: gazetteer canonicals (consumed only by the fused scorer — the
+#: contract-surface cross_turn_instances slices them off so its
+#: schema stays MENTION_PAIRS)
+XT_PAIR_COLS = ["conv_id", "turn_idx", "head_surface", "tail_surface",
+                "head_norm", "tail_norm", "head_mtype", "tail_mtype",
+                "token_ids", "head_pos", "tail_pos",
+                "head_canonical", "tail_canonical"]
+
+
+def xt_group_pairs(conv_id, items: list, k: int,
+                   cap_per_turn: int) -> list:
+    """One conversation-chunk's cross-turn pairs (the stream_groups
+    close function shared by cross_turn_instances and the fused
+    scorer in kg/stages/score.py): tokenize each turn once, pair
+    mentions across turns ≤ k apart, emit XT_PAIR_COLS tuples."""
+    from kg import nlp, spec
+
+    turns = []
+    for turn_idx, text in items:
+        toks = spec.tokenize(text or "")
+        mens = nlp.find_mentions(toks)[:cap_per_turn]
+        if mens:
+            turns.append((int(turn_idx), toks, mens))
+    rows = []
+    for i, (ti, toks_i, mens_i) in enumerate(turns):
+        for tj, toks_j, mens_j in turns[i + 1:]:
+            if tj - ti > k:
+                break
+            joined = toks_i + ["."] + toks_j
+            ids = spec.token_ids(joined)
+            off = len(toks_i) + 1
+            for a in mens_i:
+                for b in mens_j:
+                    rows.append((conv_id, ti,
+                                 a["surface"], b["surface"],
+                                 a["norm"], b["norm"],
+                                 a["mtype"], b["mtype"],
+                                 ids, a["span_start"],
+                                 b["span_start"] + off,
+                                 a["canonical"], b["canonical"]))
+    return rows
+
+
+def cross_turn_prepared(transcripts: DataFrame,
+                        chunk: int = 256) -> DataFrame:
+    """The shared exchange under both cross-turn consumers: narrow
+    projection + ONE shuffle on (conv_id, chunk) + in-partition sort,
+    ready for a streaming mapInPandas over group boundaries."""
     from pyspark.sql import functions as F
 
     return (transcripts.select("conv_id", "turn_idx", "text")
             .withColumn("_chunk",
                         F.floor(F.col("turn_idx") / chunk).cast("int"))
             .repartition("conv_id", "_chunk")
-            .sortWithinPartitions("conv_id", "_chunk", "turn_idx")
-            .mapInPandas(stream, schema=schemas.MENTION_PAIRS))
+            .sortWithinPartitions("conv_id", "_chunk", "turn_idx"))
 
 
 def detect_mentions(transcripts: DataFrame) -> DataFrame:

@@ -31,17 +31,33 @@ def stream_groups(it: Iterator[pd.DataFrame],
                   key_n: int,
                   close: Callable[[tuple, list], list],
                   out_cols: list[str],
-                  flush_rows: int = 20_000) -> Iterator[pd.DataFrame]:
+                  flush_rows: int = 20_000,
+                  flush_transform: Callable[[list], list] | None = None,
+                  ) -> Iterator[pd.DataFrame]:
     """Iterate frames (sorted by ``cols[:key_n]`` within the
     partition), buffer each group's ``cols[key_n:]`` value tuples,
     and call ``close(key, items) -> list[row_tuple]`` at every group
     boundary. Yields output frames with ``out_cols``, flushing
     whenever the buffered output reaches ``flush_rows`` — checked at
     group close, so a single mention-dense batch cannot grow the
-    buffer unboundedly, and no yield ever splits an open group."""
+    buffer unboundedly, and no yield ever splits an open group.
+
+    ``flush_transform(rows) -> rows'`` (r5): applied to the buffered
+    close-output ONCE per flush, on the raw Python tuples, before the
+    pandas frame is built — the hook the fused scorers use to run one
+    batched model pass per flush and drop the wide token_ids column
+    WITHOUT it ever entering a pandas object column (the
+    build-then-reconvert round-trip measured ~25% of the cross-turn
+    stage). ``flush_rows`` bounds the PRE-transform buffer."""
     key = None
     items: list = []
     out: list = []
+
+    def frame(rows: list) -> pd.DataFrame:
+        if flush_transform is not None:
+            rows = flush_transform(rows)
+        return pd.DataFrame(rows, columns=out_cols)
+
     for pdf in it:
         arrays = [pdf[c].to_numpy() for c in cols]
         for vals in zip(*arrays):
@@ -50,11 +66,11 @@ def stream_groups(it: Iterator[pd.DataFrame],
                 if key is not None:
                     out += close(key, items)
                     if len(out) >= flush_rows:
-                        yield pd.DataFrame(out, columns=out_cols)
+                        yield frame(out)
                         out = []
                 key, items = kk, []
             items.append(vals[key_n:])
     if key is not None:
         out += close(key, items)
     if out or key is None:
-        yield pd.DataFrame(out, columns=out_cols)
+        yield frame(out)

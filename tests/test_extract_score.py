@@ -166,3 +166,68 @@ def test_cross_turn_partitioning_independence(spark):
 
     a, b = multiset(3), multiset(17)
     assert a == b and a
+
+
+def test_cross_turn_fused_equals_composed_path(spark):
+    """r5 fused cross-turn scorer ≡ the r4 composed path
+    (cross_turn_instances → score_instances → link_instances) — the
+    SAME equivalence claim the intra-turn fused extractor carries,
+    now pinned for the cross-turn window too. Threshold dropped to 0
+    so every non-NA score survives on both sides (the intra-turn-
+    trained scorer labels most cross-turn pairs NA — 300 conversations
+    yield a handful of survivors, enough to catch any wiring, offset,
+    rename or filter divergence; the pairing itself is the SHARED
+    xt_group_pairs close function, equal by construction)."""
+    from kg import datagen
+
+    pdf, _ = datagen.generate(n_conversations=300, seed=7)
+    t0 = spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+    bc = score.broadcast_weights(spark)
+    fused = score.extract_and_score_cross_turn_fused(
+        t0, bc, k=1, threshold=0.0)
+    inst = extract.cross_turn_instances(t0, k=1)
+    composed = link.link_instances(
+        score.score_instances(inst, bc, threshold=0.0),
+        link.dictionary_df(spark)).select(
+        [f.name for f in score.FUSED_SCHEMA.fields])
+
+    def key_rows(df):
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["head_norm"], r["tail_norm"],
+             r["head_pos"], r["tail_pos"], r["rel"],
+             round(float(r["score"]), 5),
+             r["head_entity"], r["tail_entity"])
+            for r in df.collect())
+
+    a, b = key_rows(fused), key_rows(composed)
+    assert len(a) > 0
+    assert a == b
+
+
+def test_conv_fused_equals_intra_union_cross(spark):
+    """The combined single-pass extractor (pipeline default when
+    cross_turn_k > 0) ≡ intra-fused ∪ cross-fused, row-for-row —
+    tokenizing each turn once must change NOTHING about the output."""
+    from kg import datagen
+
+    pdf, _ = datagen.generate(n_conversations=300, seed=7)
+    t0 = spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+    bc = score.broadcast_weights(spark)
+    combined = score.extract_and_score_conv_fused(
+        t0, bc, k=1, threshold=0.0)
+    union = score.extract_and_score_fused(
+        t0, bc, threshold=0.0).unionByName(
+        score.extract_and_score_cross_turn_fused(
+            t0, bc, k=1, threshold=0.0))
+
+    def key_rows(df):
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["head_norm"], r["tail_norm"],
+             r["head_pos"], r["tail_pos"], r["rel"],
+             round(float(r["score"]), 5),
+             r["head_entity"], r["tail_entity"])
+            for r in df.collect())
+
+    a, b = key_rows(combined), key_rows(union)
+    assert len(a) > 100   # intra rows dominate — real coverage
+    assert a == b
