@@ -15,12 +15,28 @@ both on narrow rows. At cluster scale the (table, bucket) key is the
 partitioner: each bucket's join is local to its shuffle partition, and
 skewed buckets are handled by the same BLOCK-style cap used in canon.
 
+WHICH PATH AT SCALE (r5, measured in tools/stress_ann.py / BENCH.md):
+**IVF is the scale default.** Its wall-clock is flat as the corpus
+grows (the quantizer shards the pair space into n_cells inverted
+lists whose size the caller controls directly via n_cells ∝ n),
+while hyperplane-LSH at FIXED (n_planes, n_tables) grows ~linearly in
+bucket occupancy n/2^planes — at 60k vectors the LSH join already
+costs 5× IVF for comparable recall. Prefer
+:func:`ivf_topk_self_join` beyond ~50k vectors. When LSH semantics
+are required at scale (no training step, fully incremental
+bucketing), size it with :func:`lsh_params_for`, which holds bucket
+occupancy constant by adding planes with log₂(n) and compensates
+recall with more tables — bounded per-bucket cost by construction,
+at the price of more tables (probe row in BENCH.md).
+
 This module is the scale path when the query set IS the corpus
 (all-pairs semantic dedup, embedding clustering); the re-rank stage is
 oracle-pinned end-to-end by contract.py ann_rerank_exact.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 from pyspark.sql import DataFrame, Window as W, functions as F
@@ -31,6 +47,38 @@ from kg.stages import canon
 #: counted); a degenerate bucket (e.g. the all-zeros region) would
 #: otherwise reintroduce the quadratic pair space.
 BUCKET_CAP = 1024
+
+
+def lsh_params_for(n_vectors: int, occupancy: int = 64,
+                   p_near: float = 0.889,
+                   target_recall: float = 0.9) -> tuple[int, int]:
+    """(n_planes, n_tables) sized for ``n_vectors`` so LSH cost stays
+    BOUNDED as the corpus grows (VERDICT r4 #5 — at fixed parameters
+    the bucket self-join cost grows with occupancy n/2^planes).
+
+    - ``n_planes`` = ⌈log₂(n / occupancy)⌉ keeps expected bucket
+      occupancy ≈ ``occupancy``: candidate-pair work per table stays
+      ~n·occupancy whatever n is, instead of n²/2^planes.
+    - ``n_tables`` compensates the per-table recall loss of narrower
+      buckets: for a near pair at angle θ, P[same bucket in one
+      table] = p^planes with p = 1 − θ/π (Charikar 2002); L tables
+      give recall ≈ 1 − (1 − p^planes)^L, solved for
+      ``target_recall``. The default ``p_near`` = 0.889 is the
+      near-duplicate regime (cosine ≈ 0.94, the semantic-dedup
+      operating point); pass the p of YOUR similarity threshold for
+      other workloads.
+
+    At 120k vectors this yields (11, 8): measured recall 0.92 with
+    wall-clock ~flat vs the 60k fixed-parameter run (BENCH.md ANN
+    probe). More tables cost linearly (L bucket passes); occupancy
+    growth would have cost quadratically per bucket.
+    """
+    n_planes = max(4, math.ceil(math.log2(max(n_vectors, 2)
+                                          / max(occupancy, 1))))
+    per_table = p_near ** n_planes
+    n_tables = max(2, math.ceil(math.log(1.0 - target_recall)
+                                / math.log(1.0 - per_table)))
+    return n_planes, n_tables
 
 
 def _planes(n_planes: int, n_tables: int, dim: int,
@@ -155,8 +203,19 @@ def train_centroids(vecs: DataFrame, id_col: str = "vec_id",
     training regime (FAISS trains its quantizer on a sample too);
     assignment of the full corpus stays distributed. Deterministic:
     seeded init, fixed iteration count. Returns (n_cells, dim)
-    L2-normalized centroids."""
-    rows = (vecs.select(emb_col).limit(sample).collect())
+    L2-normalized centroids.
+
+    The sample is drawn by ordering on a hash of the id — a
+    distributed TakeOrdered, O(n log sample) on narrow rows — NOT by
+    ``limit()``: limit takes whatever rows come first, and any
+    correlation between storage order and embedding geometry (time-
+    clustered corpora, pre-sorted shards) would train the quantizer
+    on a biased prefix of the space. r5 regression caught by the 120k
+    probe: on a cluster-ordered corpus, prefix sampling collapsed
+    recall to 0.67–0.82; hash-spread sampling restores it (BENCH.md
+    ANN table)."""
+    rows = (vecs.select(emb_col, F.xxhash64(F.col(id_col)).alias("_h"))
+            .orderBy("_h").limit(sample).drop("_h").collect())
     v = np.array([r[emb_col] for r in rows], dtype=np.float64)
     v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -207,12 +266,20 @@ def ivf_topk_self_join(vecs: DataFrame, id_col: str = "vec_id",
                        emb_col: str = "embedding", *,
                        n_cells: int = 32, nprobe: int = 2, k: int = 10,
                        seed: int = 7) -> DataFrame:
-    """IVF variant of the many-to-many ANN (the other scale path the
-    training-data brief names): a sampled spherical-k-means coarse
-    quantizer shards the corpus into inverted lists; every vector
-    probes its ``nprobe`` nearest cells and exact-re-ranks only the
-    members found there. Cells are the shuffle partitioner at cluster
-    scale — each inverted list's join is local to its partition."""
+    """IVF variant of the many-to-many ANN — **the documented scale
+    default** (module docstring, r5): a sampled spherical-k-means
+    coarse quantizer shards the corpus into inverted lists; every
+    vector probes its ``nprobe`` nearest cells and exact-re-ranks
+    only the members found there. Cells are the shuffle partitioner
+    at cluster scale — each inverted list's join is local to its
+    partition.
+
+    Sizing at scale: grow ``n_cells`` ∝ n (≈ n/200 keeps inverted
+    lists ~200 long, so pair work stays ~n·200·nprobe — linear in n
+    by construction); with the hash-spread quantizer sample (see
+    train_centroids) recall at the 120k probe is insensitive to
+    n_cells across 150–1200 (0.999–1.0, BENCH.md), so list length is
+    purely a cost knob."""
     cents = train_centroids(vecs, id_col, emb_col, n_cells=n_cells,
                             seed=seed)
     cells = ivf_cells(vecs, cents, id_col, emb_col, nprobe=nprobe)

@@ -114,3 +114,42 @@ def test_cosine_zero_norm_guard(spark):
            for r in ann.rerank_topk(pairs, vecs, k=2).collect()}
     assert got[2][0] == 0.0 and not np.isnan(got[2][0])
     assert got[1][1] == 1 and got[2][1] == 2
+
+
+def test_lsh_params_for_bounds_occupancy():
+    """Auto-sizing (r5): planes grow with log2(n) so expected bucket
+    occupancy stays ≈ the target whatever n; tables grow to hold
+    recall ≥ target under the Charikar per-table collision model."""
+    for n in (1_000, 60_000, 120_000, 10_000_000):
+        planes, tables = ann.lsh_params_for(n)
+        assert n / (2 ** planes) <= 64 * 1.01          # occupancy bound
+        p = 0.889 ** planes                            # near-pair regime
+        assert 1 - (1 - p) ** tables >= 0.9 - 1e-9     # recall target
+    # monotone: more vectors never means fewer planes
+    ps = [ann.lsh_params_for(n)[0] for n in (10**3, 10**4, 10**5, 10**6)]
+    assert ps == sorted(ps)
+
+
+def test_train_centroids_sample_is_order_unbiased(spark):
+    """r5 regression (caught by the 120k probe): the quantizer sample
+    was `limit(sample)` — the FIRST rows — so a corpus whose storage
+    order correlates with geometry trained on a biased prefix. With
+    hash-spread sampling, training on a sample SMALLER than the
+    corpus must still cover clusters from the whole id range."""
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((10, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # cluster-ordered: ids 0..99 = cluster 0, 100..199 = cluster 1, …
+    pts = (np.repeat(centers, 100, axis=0)
+           + 0.03 * rng.standard_normal((1000, DIM)))
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # 16 cells for 10 clusters: over-provisioning sidesteps the
+    # k-means local optimum where two clusters merge into one
+    # centroid (a quantizer-quality issue, not a sampling one)
+    cents = ann.train_centroids(df, n_cells=16, sample=200, seed=7)
+    # every true cluster center must be near SOME trained centroid; a
+    # prefix sample (old behavior: clusters 0-1 only) leaves the last
+    # clusters ~orthogonal to every centroid (max cos ≈ 0.2-0.4)
+    cover = (centers @ cents.T).max(axis=1)
+    assert float(cover.min()) > 0.8, cover

@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--centers", type=int, default=600)
     ap.add_argument("--per", type=int, default=100)
     ap.add_argument("--sample", type=int, default=500)
+    ap.add_argument("--auto-lsh", action="store_true",
+                    help="size (n_planes, n_tables) with "
+                         "ann.lsh_params_for(n) instead of the fixed "
+                         "(8, 4) — the bounded-cost configuration the "
+                         "module documents for LSH beyond ~50k vectors")
     args = ap.parse_args()
 
     from kg.session import get_spark
@@ -76,9 +81,13 @@ def main() -> None:
             len(got.get(int(q), set()) & set(want[i])) / K
             for i, q in enumerate(qs)]))
 
+    if args.auto_lsh:
+        n_planes, n_tables = ann.lsh_params_for(n)
+    else:
+        n_planes, n_tables = 8, 4
     t0 = time.time()
     lsh_recall = recall(ann.ann_topk_self_join(
-        df, dim=DIM, k=K, n_planes=8, n_tables=4, seed=7))
+        df, dim=DIM, k=K, n_planes=n_planes, n_tables=n_tables, seed=7))
     dt_lsh = time.time() - t0
 
     t1 = time.time()
@@ -88,6 +97,8 @@ def main() -> None:
 
     print(json.dumps({
         "n_vectors": n,
+        "lsh_planes": n_planes,
+        "lsh_tables": n_tables,
         "n_queries": len(qs),
         "lsh_recall_at_10": round(lsh_recall, 3),
         "ivf_recall_at_10": round(ivf_recall, 3),
