@@ -6,7 +6,7 @@ entry):
         --input  /path/or/catalog.db.documents \
         --output /path/or/catalog.db \
         [--min-tokens 5] [--min-stopword-ratio 0.05] [--tau 0.5] \
-        [--sample-mod M] [--pack-ctx 2048] [--shards 8]
+        [--sample-mod M] [--pack-ctx 2048] [--shards 8] [--gopher]
 
 Reads a documents table (doc_id, text), runs QC → language filter →
 exact dedup → LSH near-dup dedup → optional deterministic sample →
@@ -46,6 +46,9 @@ def main(argv: list[str] | None = None) -> None:
                          "(omit to keep all survivors)")
     ap.add_argument("--pack-ctx", type=int, default=2048)
     ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--gopher", action="store_true",
+                    help="also apply the Gopher/MassiveText quality "
+                         "battery (Rae21 A1.1) in the QC stage")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -63,7 +66,8 @@ def main(argv: list[str] | None = None) -> None:
         tau=args.tau,
         sample_mod=args.sample_mod,
         pack_ctx=args.pack_ctx,
-        n_shards=args.shards)
+        n_shards=args.shards,
+        gopher=args.gopher)
 
     sep = "." if io.is_iceberg(args.output) else "/"
     io.write_table(

@@ -13,7 +13,8 @@ SF_DIR = "/root/testdata/sf0.001"
 SUBSET = ["agg_basic", "join_inner", "window_rank", "topk",
           "tokenize_regex", "json_funcs", "array_funcs",
           "two_phase_salted_agg", "knn_cosine_bruteforce",
-          "sessionize_chunks", "doc_repetition_filter"]
+          "sessionize_chunks", "doc_repetition_filter",
+          "gopher_quality_filter"]
 
 
 @pytest.fixture(scope="module")

@@ -143,3 +143,23 @@ def test_dedup_fingerprints_ride_verify_joins(spark):
         r"BroadcastNestedLoopJoin|CartesianProduct)", plan))
     assert n_joins == 2, f"expected exactly 2 verify joins:\n{plan}"
     assert "md5" in plan
+
+
+def test_cross_turn_fused_plan_has_no_joins(spark):
+    """The r5 fused cross-turn path, pinned: pairing + scoring + exact
+    linking in ONE streaming mapInPandas after ONE exchange on
+    (conv_id, chunk). The r4 composed path carried TWO broadcast
+    linking joins and a second MapInPandas stage; any join or second
+    exchange reappearing here is the regression this test exists for."""
+    from kg import datagen, schemas
+    from kg.stages import score
+
+    pdf, _ = datagen.generate(n_conversations=10, seed=3)
+    t0 = spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+    bc = score.broadcast_weights(spark)
+    plan = _plan(score.extract_and_score_cross_turn_fused(t0, bc, k=1))
+    assert "Join" not in plan, plan
+    # tree form "Exchange (n)" counts nodes; the details section
+    # repeats each node as "(n) Exchange"
+    assert plan.count("Exchange (") == 1, plan
+    assert "MapInPandas" in plan
