@@ -125,6 +125,11 @@ def score_bags(transcripts: DataFrame, weights_bc,
             it, ["head_norm", "tail_norm", "head_entity",
                  "tail_entity", "logits"], 2, close, out_cols)
 
-    return (inst.repartition("head_norm", "tail_norm")
+    from kg.stages.skew import cpu_stage_partitions
+
+    # explicit count: AQE's bytes-based coalescing would starve this
+    # CPU-bound stage at small shuffle sizes (see cpu_stage_partitions)
+    n = cpu_stage_partitions(inst)
+    return (inst.repartition(n, "head_norm", "tail_norm")
             .sortWithinPartitions("head_norm", "tail_norm")
             .mapInPandas(stream, schema=BAG_SCHEMA))

@@ -162,13 +162,28 @@ def cross_turn_prepared(transcripts: DataFrame,
                         chunk: int = 256) -> DataFrame:
     """The shared exchange under both cross-turn consumers: narrow
     projection + ONE shuffle on (conv_id, chunk) + in-partition sort,
-    ready for a streaming mapInPandas over group boundaries."""
+    ready for a streaming mapInPandas over group boundaries.
+
+    The partition count is EXPLICIT (the session's configured shuffle
+    partitions, via :func:`kg.stages.skew.cpu_stage_partitions`), not
+    AQE's choice: AQE coalesces post-shuffle partitions by BYTES, and
+    transcript text is tiny per unit of extraction CPU (~KB/turn vs
+    ~100 µs/turn of tokenize+mention+score Python), so at sf0.1 AQE
+    folded the 32-way exchange to 3 tasks and serialized ~5 s of
+    single-core Python onto 3 cores (measured r5; the whole cross-turn
+    stage is CPU-bound, never byte-bound). Partitioning a Python-CPU
+    stage by the configured parallelism is the right call at every
+    scale — a 1000-executor deployment sets shuffle.partitions to its
+    core budget and gets exactly that fan-out."""
     from pyspark.sql import functions as F
 
+    from kg.stages.skew import cpu_stage_partitions
+
+    n = cpu_stage_partitions(transcripts)
     return (transcripts.select("conv_id", "turn_idx", "text")
             .withColumn("_chunk",
                         F.floor(F.col("turn_idx") / chunk).cast("int"))
-            .repartition("conv_id", "_chunk")
+            .repartition(n, "conv_id", "_chunk")
             .sortWithinPartitions("conv_id", "_chunk", "turn_idx"))
 
 

@@ -126,6 +126,23 @@ def hot_key_join(turns: DataFrame, per_key: DataFrame,
     return turns.join(per_key, key)
 
 
+def cpu_stage_partitions(df: DataFrame) -> int:
+    """Partition count for a Python-CPU-bound post-shuffle stage
+    (streaming mapInPandas extract/score/bag): the session's
+    configured ``spark.sql.shuffle.partitions``, floored at the
+    scheduler's default parallelism.
+
+    Used to pass an EXPLICIT count to ``repartition(n, cols)`` so AQE
+    cannot coalesce the exchange by bytes: advisory partition sizing
+    targets ~64 MB of shuffle data per task, which undersizes stages
+    whose cost is Python CPU per row rather than bytes (measured r5:
+    the cross-turn exchange at sf0.1 coalesced 32 → 3 tasks, leaving
+    29 cores idle under ~5 s of single-core NLP work)."""
+    spark = df.sparkSession
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(conf, spark.sparkContext.defaultParallelism)
+
+
 def repartition_for_stage(df: DataFrame, n: int, *cols: str) -> DataFrame:
     """E4: explicit exchange between macro-stages (e.g. by conv_id
     before reassembly, by subj before the adjacency sink so output
