@@ -30,6 +30,13 @@ def main(argv: list[str] | None = None) -> None:
                     help="relation scorer: PCNN (lookup-table fast "
                          "path) or the BERT-style self-attention "
                          "encoder")
+    ap.add_argument("--clustered-input", action="store_true",
+                    help="the input layout already contains each "
+                         "conversation in one scan partition (written "
+                         "bucketed by conv_id / Iceberg bucket(conv_id) "
+                         "with files under maxPartitionBytes): the "
+                         "cross-turn pass then skips its shuffle "
+                         "entirely")
     ap.add_argument("--resume", action="store_true",
                     help="(informational; resume is automatic when the "
                          "manifest matches the input snapshot)")
@@ -45,7 +52,8 @@ def main(argv: list[str] | None = None) -> None:
                            spark, encoder=args.encoder),
                        checkpoint_root=args.checkpoint,
                        n_buckets=args.buckets,
-                       cross_turn_k=args.cross_turn_k)
+                       cross_turn_k=args.cross_turn_k,
+                       clustered_input=args.clustered_input)
     sep = "." if io.is_iceberg(args.output) else "/"
     io.write_table(out["triples"], f"{args.output}{sep}triples")
     io.write_table(

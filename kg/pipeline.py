@@ -95,7 +95,8 @@ def resolve_entities(scored: DataFrame, dict_df: DataFrame,
 def extract_and_score(spark: SparkSession, transcripts: DataFrame,
                       weights_bc=None,
                       threshold: float = spec.REL_THRESHOLD,
-                      cross_turn_k: int = 0) -> DataFrame:
+                      cross_turn_k: int = 0,
+                      clustered_input: bool = False) -> DataFrame:
     """B1–B5 extraction. ``cross_turn_k > 0`` additionally scores
     mention pairs spanning ≤ k turns within a conversation (B3's ±k
     window, score.extract_and_score_cross_turn_fused): one extra
@@ -123,8 +124,14 @@ def extract_and_score(spark: SparkSession, transcripts: DataFrame,
     # wide rows / remote object store), not when extraction CPU does.
     # All three surfaces are equivalence-pinned in
     # tests/test_extract_score.py.
+    # clustered_input: the caller vouches the storage layout contains
+    # each conversation in one scan partition (conv-bucketed write /
+    # Iceberg bucket(conv_id)); the cross-turn pass then runs with NO
+    # exchange at all — at 10^12 turns that is the whole corpus not
+    # shuffled. See extract.cross_turn_prepared for the contract.
     xfused = score.extract_and_score_cross_turn_fused(
-        transcripts, weights_bc, k=cross_turn_k, threshold=threshold)
+        transcripts, weights_bc, k=cross_turn_k, threshold=threshold,
+        clustered_input=clustered_input)
     return fused.unionByName(xfused)
 
 
@@ -132,7 +139,8 @@ def run(spark: SparkSession, transcripts: DataFrame,
         weights_bc=None, checkpoint_root: str | None = None,
         n_buckets: int = 16,
         snapshot_id: str | None = None,
-        cross_turn_k: int = 0) -> dict[str, DataFrame]:
+        cross_turn_k: int = 0,
+        clustered_input: bool = False) -> dict[str, DataFrame]:
     """The full pipeline. Returns {'triples': T8, 'adjacency': T9,
     'scored': T4-narrow, 'observations': {stage: Observation}} — the
     observations fill for free when the caller's first action runs
@@ -144,7 +152,8 @@ def run(spark: SparkSession, transcripts: DataFrame,
 
     def _extract_fn(df: DataFrame) -> DataFrame:
         return extract_and_score(spark, df, weights_bc,
-                                 cross_turn_k=cross_turn_k)
+                                 cross_turn_k=cross_turn_k,
+                                 clustered_input=clustered_input)
 
     if checkpoint_root:
         snap = snapshot_id or snapshot_id_of(transcripts)

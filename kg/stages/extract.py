@@ -71,7 +71,8 @@ def _mention_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def cross_turn_instances(transcripts: DataFrame, k: int = 1,
                          cap_per_turn: int = 8,
-                         chunk: int = 256) -> DataFrame:
+                         chunk: int = 256,
+                         clustered_input: bool = False) -> DataFrame:
     """B3 cross-turn variant: mention pairs spanning turns ≤ k apart
     within a conversation (SURVEY.md §2 B3 "±k turn window").
 
@@ -110,7 +111,7 @@ def cross_turn_instances(transcripts: DataFrame, k: int = 1,
                 key[0], items, k, cap_per_turn)],
             XT_PAIR_COLS[:n_pair])
 
-    return (cross_turn_prepared(transcripts, chunk)
+    return (cross_turn_prepared(transcripts, chunk, clustered_input)
             .mapInPandas(stream, schema=schemas.MENTION_PAIRS))
 
 
@@ -159,7 +160,8 @@ def xt_group_pairs(conv_id, items: list, k: int,
 
 
 def cross_turn_prepared(transcripts: DataFrame,
-                        chunk: int = 256) -> DataFrame:
+                        chunk: int = 256,
+                        clustered_input: bool = False) -> DataFrame:
     """The shared exchange under both cross-turn consumers: narrow
     projection + ONE shuffle on (conv_id, chunk) + in-partition sort,
     ready for a streaming mapInPandas over group boundaries.
@@ -174,16 +176,34 @@ def cross_turn_prepared(transcripts: DataFrame,
     stage is CPU-bound, never byte-bound). Partitioning a Python-CPU
     stage by the configured parallelism is the right call at every
     scale — a 1000-executor deployment sets shuffle.partitions to its
-    core budget and gets exactly that fan-out."""
+    core budget and gets exactly that fan-out.
+
+    ``clustered_input=True`` (r5) skips the exchange entirely: an
+    in-partition sort feeds the stream directly off the scan. Only
+    correct when the storage layout already CONTAINS each conversation
+    in a single scan partition — i.e. the table was written bucketed /
+    hash-repartitioned by conv_id (kg.datagen does; an Iceberg table
+    partitioned by bucket(conv_id) does) AND no input file exceeds
+    ``spark.sql.files.maxPartitionBytes`` (a split file could cut a
+    conversation in two; Spark COMBINING small files is fine — whole
+    files are preserved). At 10^12-turn scale this is the difference
+    between shuffling the whole corpus and shuffling nothing; the
+    equivalence against the shuffle path on a conv-bucketed input is
+    pinned in tests/test_extract_score.py. When the layout contract is
+    violated, pairs that span the partition cut are dropped — same
+    failure class as the documented chunk-boundary drop, NOT wrong
+    pairs — but don't do that; the flag is an explicit opt-in."""
     from pyspark.sql import functions as F
 
     from kg.stages.skew import cpu_stage_partitions
 
-    n = cpu_stage_partitions(transcripts)
-    return (transcripts.select("conv_id", "turn_idx", "text")
+    base = (transcripts.select("conv_id", "turn_idx", "text")
             .withColumn("_chunk",
-                        F.floor(F.col("turn_idx") / chunk).cast("int"))
-            .repartition(n, "conv_id", "_chunk")
+                        F.floor(F.col("turn_idx") / chunk).cast("int")))
+    if clustered_input:
+        return base.sortWithinPartitions("conv_id", "_chunk", "turn_idx")
+    n = cpu_stage_partitions(transcripts)
+    return (base.repartition(n, "conv_id", "_chunk")
             .sortWithinPartitions("conv_id", "_chunk", "turn_idx"))
 
 

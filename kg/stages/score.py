@@ -186,6 +186,7 @@ def extract_and_score_cross_turn_fused(
     threshold: float = spec.REL_THRESHOLD,
     cap_per_turn: int = 8,
     chunk: int = 256,
+    clustered_input: bool = False,
 ) -> DataFrame:
     """B1–B5 for the ±k cross-turn window in ONE streaming
     mapInPandas (r5 — VERDICT r4 #6): pairing, PCNN scoring and exact
@@ -212,7 +213,7 @@ def extract_and_score_cross_turn_fused(
         return extract.xt_group_pairs(key[0], items, k, cap_per_turn)
 
     return _stream_score_fused(transcripts, weights_bc, close,
-                               threshold, chunk)
+                               threshold, chunk, clustered_input)
 
 
 def _score_xt_rows(p, rows: list, threshold: float) -> list:
@@ -236,7 +237,8 @@ def _score_xt_rows(p, rows: list, threshold: float) -> list:
 
 
 def _stream_score_fused(transcripts, weights_bc, close,
-                        threshold: float, chunk: int) -> DataFrame:
+                        threshold: float, chunk: int,
+                        clustered_input: bool = False) -> DataFrame:
     """Shared plumbing of the streaming fused scorers: one
     (conv_id, chunk) exchange → stream_groups with ``close`` building
     XT_PAIR_COLS pair tuples → a flush_transform that scores each
@@ -259,7 +261,8 @@ def _stream_score_fused(transcripts, weights_bc, close,
             it, ["conv_id", "_chunk", "turn_idx", "text"], 2,
             close, out_cols, flush_transform=ft)
 
-    scored = (extract.cross_turn_prepared(transcripts, chunk)
+    scored = (extract.cross_turn_prepared(transcripts, chunk,
+                                          clustered_input)
               .mapInPandas(stream, schema=FUSED_SCHEMA))
     return apply_type_signature(scored)
 

@@ -231,3 +231,48 @@ def test_conv_fused_equals_intra_union_cross(spark):
     a, b = key_rows(combined), key_rows(union)
     assert len(a) > 100   # intra rows dominate — real coverage
     assert a == b
+
+
+def test_clustered_input_equals_shuffle_path(spark, tmp_path):
+    """r5 clustered-input fast path: on a conv-bucketed layout (every
+    conversation wholly inside one scan partition — here a parquet
+    written via repartition(4, conv_id)), skipping the exchange must
+    change NOTHING about the cross-turn instance multiset. This is
+    the optimization's entire correctness claim; the layout contract
+    itself is documented in extract.cross_turn_prepared."""
+    from kg import datagen
+
+    pdf, _ = datagen.generate(n_conversations=60, seed=11)
+    t0 = spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+    path = str(tmp_path / "bucketed")
+    t0.repartition(4, "conv_id").write.parquet(path)
+    t_bucketed = spark.read.parquet(path)
+
+    def multiset(clustered):
+        rows = extract.cross_turn_instances(
+            t_bucketed, k=1, clustered_input=clustered).collect()
+        return sorted((r["conv_id"], r["turn_idx"], r["head_norm"],
+                       r["tail_norm"], r["head_pos"], r["tail_pos"])
+                      for r in rows)
+
+    a, b = multiset(True), multiset(False)
+    assert a == b and a
+
+    # and through the fused scorer + full pipeline wiring
+    from kg import pipeline
+    from kg.stages import score as score_mod
+
+    bc = score_mod.broadcast_weights(spark)
+    fa = score_mod.extract_and_score_cross_turn_fused(
+        t_bucketed, bc, k=1, threshold=0.0, clustered_input=True)
+    fb = score_mod.extract_and_score_cross_turn_fused(
+        t_bucketed, bc, k=1, threshold=0.0, clustered_input=False)
+
+    def key_rows(df):
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["head_norm"], r["tail_norm"],
+             r["head_pos"], r["tail_pos"], r["rel"],
+             round(float(r["score"]), 5))
+            for r in df.collect())
+
+    assert key_rows(fa) == key_rows(fb)

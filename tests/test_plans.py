@@ -163,3 +163,25 @@ def test_cross_turn_fused_plan_has_no_joins(spark):
     # repeats each node as "(n) Exchange"
     assert plan.count("Exchange (") == 1, plan
     assert "MapInPandas" in plan
+
+
+def test_clustered_cross_turn_plan_has_no_exchange(spark, tmp_path):
+    """clustered_input=True must remove the exchange ENTIRELY — scan →
+    in-partition sort → MapInPandas. At 10^12 turns the difference is
+    shuffling the whole corpus vs shuffling nothing; if an Exchange
+    reappears here the fast path has silently regressed to the
+    shuffle path."""
+    from kg import datagen, schemas
+    from kg.stages import score
+
+    pdf, _ = datagen.generate(n_conversations=10, seed=3)
+    t0 = spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+    path = str(tmp_path / "bucketed")
+    t0.repartition(2, "conv_id").write.parquet(path)
+    bc = score.broadcast_weights(spark)
+    plan = _plan(score.extract_and_score_cross_turn_fused(
+        spark.read.parquet(path), bc, k=1, clustered_input=True))
+    assert "Exchange (" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan
+    assert "Sort (" in plan  # the in-partition sort survives
