@@ -1815,6 +1815,160 @@ def tfidf_top_terms(spark, sf):
             .select("doc_id", "term", "rank", "tfidf"))
 
 
+#: one PageRank iteration body, Spark side (see pagerank_iter3)
+_PR_DAMP = 0.85
+
+_PR_IT_SQL = """{out} AS (
+  SELECT nodes.node, (0.15 / n.n) + 0.85 * coalesce(c.s, 0) AS pr
+  FROM nodes CROSS JOIN n LEFT JOIN (
+      SELECT dst AS node, sum(pr / outdeg) AS s
+      FROM edges JOIN {src} ON edges.src = {src}.node
+                 JOIN outdeg USING (src)
+      GROUP BY dst) c ON nodes.node = c.node)"""
+
+
+@q("pagerank_iter3", """
+WITH e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                            'p' || CAST(l_partkey AS VARCHAR) AS dst
+            FROM lineitem),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+n AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0 / n.n AS pr FROM nodes CROSS JOIN n),
+""" + _PR_IT_SQL.format(out="it1", src="pr0") + ",\n"
+    + _PR_IT_SQL.format(out="it2", src="it1") + ",\n"
+    + _PR_IT_SQL.format(out="it3", src="it2") + """
+SELECT node, round(pr, 6) AS pr FROM it3
+""")
+def pagerank_iter3(spark, sf):
+    """Graph analytics over the materialized KG shape: 3 unrolled
+    PageRank power iterations (Page et al. 1999; d = 0.85, no dangling
+    redistribution — every node has out-edges on the symmetrized
+    graph) on the supplier↔part co-occurrence graph (51.7k directed
+    edges, 2.1k nodes at sf0.01; node ids prefixed 's'/'p' so the two
+    key spaces cannot collide).
+
+    Plan at scale: each iteration is edges ⋈ pr (shuffle on the edge
+    partitioning) ⋈ broadcast outdeg → groupBy(dst) sum — the same
+    join-aggregate shape GraphFrames' aggregateMessages lowers to; N
+    rides a broadcast 1-row cross join. Fixed unrolled iterations keep
+    the whole thing one declarative plan; a convergence-driven variant
+    would localCheckpoint every few iterations to cut lineage (the
+    same discipline kg/stages/canon.py uses for CC). Scores rounded to
+    6 decimals on both engines; sum-order ulp drift across 3
+    iterations is ~1e-12, far under the rounding grain."""
+    li = _t(spark, sf, "lineitem")
+    e0 = (li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+         .alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+         .alias("dst")).distinct())
+    edges = e0.unionByName(e0.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ncnt = nodes.select(F.count("*").alias("n"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    pr = (nodes.crossJoin(F.broadcast(ncnt))
+          .select("node", (F.lit(1.0) / F.col("n")).alias("pr")))
+    for _ in range(3):
+        contrib = (edges.join(pr, edges.src == pr.node)
+                   .join(outdeg, "src")
+                   .select(F.col("dst").alias("node"),
+                           (F.col("pr") / F.col("outdeg")).alias("c")))
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        pr = (nodes.join(summed, "node", "left")
+              .crossJoin(F.broadcast(ncnt))
+              .select("node",
+                      ((1.0 - _PR_DAMP) / F.col("n")
+                       + _PR_DAMP * F.coalesce(F.col("s"), F.lit(0.0)))
+                      .alias("pr")))
+    return pr.select("node", F.round("pr", 6).alias("pr"))
+
+
+@q("kmeans_assign", """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+d AS (SELECT emb.vec_id, cent.cid, list_distance(emb.v, cent.cv) AS dist
+      FROM emb CROSS JOIN cent),
+r AS (SELECT vec_id, cid, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, cid ASC) AS rn
+      FROM d)
+SELECT vec_id, cid AS cluster, round(dist, 4) AS dist FROM r WHERE rn = 1
+""")
+def kmeans_assign(spark, sf):
+    """Lloyd assignment step over the embedding column: nearest of K=8
+    deterministic seed centroids (the embeddings with vec_id < 8) by
+    Euclidean distance — broadcast centroids × vectors, distance via
+    zip_with/aggregate (JVM higher-order functions, no UDF), argmin as
+    a tie-deterministic row_number (dist ASC, cid ASC).
+
+    Arithmetic is pinned to double on BOTH engines (cast before any
+    subtraction — float32 accumulation at dim 64 would drift past the
+    4-decimal output grain; in double the cross-engine ulp gap is
+    ~1e-14). At 100 TB this is the map side of distributed k-means:
+    centroids broadcast, one scan, no shuffle until the update step's
+    per-cluster aggregation."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    w = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    return (emb.crossJoin(F.broadcast(cent)).withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").alias("cluster"),
+                    F.round("dist", 4).alias("dist")))
+
+
+@q("kmeans_update", """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+d AS (SELECT emb.vec_id, cent.cid, list_distance(emb.v, cent.cv) AS dist
+      FROM emb CROSS JOIN cent),
+r AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, cid ASC) AS rn
+      FROM d),
+asg AS (SELECT vec_id, cid AS cluster FROM r WHERE rn = 1),
+ex AS (SELECT asg.cluster, generate_subscripts(emb.v, 1) - 1 AS pos,
+              unnest(emb.v) AS val
+       FROM asg JOIN emb USING (vec_id))
+SELECT cluster, pos, round(avg(val), 4) + 0 AS mean_val
+FROM ex GROUP BY cluster, pos
+""")
+def kmeans_update(spark, sf):
+    """Lloyd update step: per-cluster component-wise centroid means
+    for the kmeans_assign assignment — posexplode(vector) →
+    groupBy(cluster, position) avg, i.e. the ONE shuffle of a k-means
+    iteration, keyed on (cluster, pos) so K×dim cells spread across
+    the cluster instead of K hot groups. `+ 0` after rounding
+    normalizes IEEE negative zero (a mean of ~0 can round to -0.0,
+    and -0.0 vs 0.0 hash differently despite comparing equal)."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    w = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    assign = (emb.crossJoin(F.broadcast(cent))
+              .withColumn("dist", dist)
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") == 1)
+              .select("vec_id", F.col("cid").alias("cluster")))
+    return (assign.join(emb, "vec_id")
+            .select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg((F.round(F.avg("val"), 4) + F.lit(0.0))
+                 .alias("mean_val")))
+
+
 # Defined LAST among oracle entries deliberately: driver_order() packs
 # oracle entries into the ~50-slot window in definition order (minus
 # the WINDOW_TAIL rotation below), and the tolerance certificate below
@@ -1849,18 +2003,20 @@ def approx_distinct(spark, sf):
 
 
 #: Long-stable oracle entries rotated to the END of the oracle group
-#: (r5): the registry now holds 55 oracle-paired entries against the
-#: driver's 50-slot window, so five must sit past it. These five are
+#: (r5): the registry now holds 58 oracle-paired entries against the
+#: driver's 50-slot window, so eight must sit past it. These eight are
 #: §2-F relational entries that have hash-matched in EVERY driver round
 #: since round 1 and carry committed self-hash pins at sf0.01
 #: (tests/test_pins.py), so parking them costs no evidence — while
 #: doc_repetition_filter, approx_distinct, gopher_quality_filter,
-#: pii_scrub and tfidf_top_terms (never driver-certified before round
-#: 5) take their slots. Grow this tuple (stable §2-F entries first)
-#: whenever a new oracle entry would otherwise push a never-certified
-#: one past the window.
+#: pii_scrub, tfidf_top_terms, pagerank_iter3, kmeans_assign and
+#: kmeans_update (never driver-certified before round 5) take their
+#: slots. Grow this tuple (stable §2-F entries first) whenever a new
+#: oracle entry would otherwise push a never-certified one past the
+#: window.
 WINDOW_TAIL = ("map_funcs", "set_ops", "json_funcs",
-               "string_funcs", "date_funcs")
+               "string_funcs", "date_funcs", "array_funcs",
+               "posexplode_tokens", "explode_words")
 
 #: the driver evaluates this many leading entries of queries()
 DRIVER_WINDOW = 50

@@ -86,7 +86,8 @@ def test_driver_window_in_out_split_is_the_declared_one():
     assert out_oracle == set(contract.WINDOW_TAIL)
     # the round-5 rotation goal: first-ever driver certification
     for n in ("doc_repetition_filter", "approx_distinct",
-              "gopher_quality_filter", "pii_scrub", "tfidf_top_terms"):
+              "gopher_quality_filter", "pii_scrub", "tfidf_top_terms",
+              "pagerank_iter3", "kmeans_assign", "kmeans_update"):
         assert n in in_window, n
     # tail members really are oracle-paired (a rows-only name in the
     # tuple would silently shrink the oracle set instead of rotating)
