@@ -817,9 +817,15 @@ def udaf_confidence_merge(spark, sf):
     driver of any grouped-agg Python UDAF (one Arrow slice per group)
     — grouped-agg pandas UDFs are a coverage surface, not a hot path;
     the pipeline's default D2 merge is the JVM-side max aggregate."""
+    from kg.stages.skew import cpu_stage_partitions
     from kg.stages.triples import noisy_or_udaf
 
-    return (_t(spark, sf, "lineitem").where("l_orderkey < 2000")
+    li = _t(spark, sf, "lineitem").where("l_orderkey < 2000")
+    # explicit exchange: pandas UDAFs have no partial agg, so the
+    # post-shuffle stage is pure Python CPU and AQE's bytes-based
+    # coalescing would fold it to one task (see
+    # triples.dedup_aggregate_noisy_or / skew.cpu_stage_partitions)
+    return (li.repartition(cpu_stage_partitions(li), "l_orderkey")
             .groupBy("l_orderkey")
             .agg(F.floor(noisy_or_udaf()("l_discount") * 10000 + 0.5)
                   .alias("conf_e4")))
