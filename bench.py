@@ -203,7 +203,19 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
                            clustered_input=True)
         out["triples"].write.mode("overwrite").format("noop").save()
 
-    timed("kg_e2e_cross_turn_clustered", e2e_cross_turn_clustered)
+    from kg.stages.extract import clustered_layout_ok
+
+    if clustered_layout_ok(spark.read.parquet(t_path)):
+        timed("kg_e2e_cross_turn_clustered", e2e_cross_turn_clustered)
+    else:
+        # a larger KG_BENCH_CONVS (or a fat-file cache from a low-core
+        # host) can push files past maxPartitionBytes; Spark would then
+        # split them mid-conversation and the clustered entry would
+        # silently drop cross-partition pairs while claiming
+        # output-identity — refuse to report a flattering wrong number
+        print("WARN: bench transcript files exceed maxPartitionBytes; "
+              "skipping kg_e2e_cross_turn_clustered (layout contract "
+              "not met)", file=sys.stderr)
 
     # --- E3b: join THROUGH the ×100-hot conv_id under AQE skew-join
     # (VERDICT r2 #7). Dim side pre-materialized (bare exchange) and

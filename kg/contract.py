@@ -1722,7 +1722,7 @@ _PII_CARD = "[0-9]{4}(-[0-9]{4}){3}"
 _PII_NUM = "[0-9]{4,}"
 
 
-@q("pii_scrub", r"""
+@q("pii_scrub", """
 WITH built AS (
   SELECT c_custkey,
          c_name || ' contact user' || CAST(c_custkey AS VARCHAR)
@@ -1732,13 +1732,18 @@ WITH built AS (
   FROM customer)
 SELECT c_custkey,
        regexp_replace(regexp_replace(regexp_replace(raw,
-           '[0-9]{4}(-[0-9]{4}){3}', '<CARD>', 'g'),
-           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-           '[0-9]{4,}', '<NUM>', 'g') AS scrubbed,
+           '"""
+    # the SQL interpolates the SAME module constants the Spark entry
+    # uses (no second copy of any pattern to drift): they contain no
+    # quotes, and double-backslash in the Python literal is a single
+    # backslash here, which both RE2 and Java regex read identically
+    + _PII_CARD + """', '<CARD>', 'g'),
+           '""" + _PII_EMAIL + """', '<EMAIL>', 'g'),
+           '""" + _PII_NUM + """', '<NUM>', 'g') AS scrubbed,
        len(regexp_extract_all(raw,
-           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
-       len(regexp_extract_all(raw, '[0-9]{4}(-[0-9]{4}){3}')) AS n_card,
-       len(regexp_extract_all(raw, '[0-9]{4,}')) AS n_digit_runs
+           '""" + _PII_EMAIL + """')) AS n_email,
+       len(regexp_extract_all(raw, '""" + _PII_CARD + """')) AS n_card,
+       len(regexp_extract_all(raw, '""" + _PII_NUM + """')) AS n_digit_runs
 FROM built
 """)
 def pii_scrub(spark, sf):
@@ -1799,8 +1804,12 @@ def tfidf_top_terms(spark, sf):
     Plan at scale: one tokenize scan feeds BOTH aggregations (term
     counts per doc, document frequency per term); N arrives as a
     broadcast 1-row cross join (never a collect); the per-doc top-k
-    is a row_number window over the doc_id shuffle the tf aggregation
-    already established. Ordering is deterministic under ties
+    window adds its own doc_id exchange AFTER the (doc_id, term) tf
+    aggregation — hashpartitioning(doc_id, term) does not satisfy the
+    window's ClusteredDistribution(doc_id), so no exchange reuse
+    happens (plan-verified); the extra shuffle moves one already-
+    aggregated ~30-byte row per (doc, term), trivial at any scale.
+    Ordering is deterministic under ties
     (score DESC, term ASC) and the score is rounded to 6 decimals on
     BOTH engines before ranking, so rank and hash are stable across
     JVM/libm ln() ulp differences."""
@@ -1821,16 +1830,22 @@ def tfidf_top_terms(spark, sf):
             .select("doc_id", "term", "rank", "tfidf"))
 
 
-#: one PageRank iteration body, Spark side (see pagerank_iter3)
+#: PageRank constants, shared by the Spark entry and the oracle text
+#: below (both sides interpolate THESE, so the two engines use the
+#: exact same double literals — 1.0-0.85 in Python is 2.8e-17 away
+#: from the parsed literal 0.15, which is harmless today but becomes
+#: a desynchronized oracle the day someone edits one copy)
 _PR_DAMP = 0.85
+_PR_TELEPORT = 0.15
 
-_PR_IT_SQL = """{out} AS (
-  SELECT nodes.node, (0.15 / n.n) + 0.85 * coalesce(c.s, 0) AS pr
+_PR_IT_SQL = ("""{{out}} AS (
+  SELECT nodes.node, ({tel} / n.n) + {damp} * coalesce(c.s, 0) AS pr
   FROM nodes CROSS JOIN n LEFT JOIN (
       SELECT dst AS node, sum(pr / outdeg) AS s
-      FROM edges JOIN {src} ON edges.src = {src}.node
+      FROM edges JOIN {{src}} ON edges.src = {{src}}.node
                  JOIN outdeg USING (src)
       GROUP BY dst) c ON nodes.node = c.node)"""
+              .format(tel=repr(_PR_TELEPORT), damp=repr(_PR_DAMP)))
 
 
 @q("pagerank_iter3", """
@@ -1886,10 +1901,50 @@ def pagerank_iter3(spark, sf):
         pr = (nodes.join(summed, "node", "left")
               .crossJoin(F.broadcast(ncnt))
               .select("node",
-                      ((1.0 - _PR_DAMP) / F.col("n")
+                      (F.lit(_PR_TELEPORT) / F.col("n")
                        + _PR_DAMP * F.coalesce(F.col("s"), F.lit(0.0)))
                       .alias("pr")))
     return pr.select("node", F.round("pr", 6).alias("pr"))
+
+
+def _kmeans_assignment(spark, sf) -> DataFrame:
+    """Shared Lloyd assignment sub-plan for kmeans_assign /
+    kmeans_update (one definition so a tie-break or cast change can
+    never skew the two entries apart): nearest of K=8 deterministic
+    seed centroids (the embeddings with vec_id < 8) by Euclidean
+    distance. Returns (vec_id, cluster, dist — unrounded).
+
+    Genuinely map-only on the data path: the 8 centroids fold into
+    ONE array-of-structs row (sort_array fixes their order), broadcast
+    via a 1-row cross join, and the argmin is array_min over
+    per-centroid (dist, cid) structs — struct ordering compares dist
+    first, then cid, which IS the deterministic tie-break. The vector
+    scan therefore carries no exchange and no per-vector window (an
+    earlier draft used row_number over vec_id, which silently added an
+    Exchange hashpartitioning(vec_id) — the plan audit caught the
+    docstring claiming map-only while the plan shuffled). Arithmetic
+    pinned to double on BOTH engines: float32 accumulation at dim 64
+    would drift past the 4-decimal output grain; in double the
+    cross-engine ulp gap is ~1e-14."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cent_arr = (emb.where(F.col("vec_id") < 8)
+                .agg(F.sort_array(F.collect_list(F.struct(
+                    F.col("vec_id").alias("cid"),
+                    F.col("v").alias("cv")))).alias("cents")))
+
+    def dist_to(c):
+        return F.sqrt(F.aggregate(
+            F.zip_with("v", c["cv"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x))
+
+    best = F.array_min(F.transform(
+        "cents", lambda c: F.struct(dist_to(c).alias("dist"),
+                                    c["cid"].alias("cid"))))
+    return (emb.crossJoin(F.broadcast(cent_arr))
+            .select("vec_id", best.alias("b"))
+            .select("vec_id", F.col("b.cid").alias("cluster"),
+                    F.col("b.dist").alias("dist")))
 
 
 @q("kmeans_assign", """
@@ -1904,31 +1959,13 @@ r AS (SELECT vec_id, cid, dist,
 SELECT vec_id, cid AS cluster, round(dist, 4) AS dist FROM r WHERE rn = 1
 """)
 def kmeans_assign(spark, sf):
-    """Lloyd assignment step over the embedding column: nearest of K=8
-    deterministic seed centroids (the embeddings with vec_id < 8) by
-    Euclidean distance — broadcast centroids × vectors, distance via
-    zip_with/aggregate (JVM higher-order functions, no UDF), argmin as
-    a tie-deterministic row_number (dist ASC, cid ASC).
-
-    Arithmetic is pinned to double on BOTH engines (cast before any
-    subtraction — float32 accumulation at dim 64 would drift past the
-    4-decimal output grain; in double the cross-engine ulp gap is
-    ~1e-14). At 100 TB this is the map side of distributed k-means:
-    centroids broadcast, one scan, no shuffle until the update step's
-    per-cluster aggregation."""
-    emb = _t(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cent = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-    dist = F.sqrt(F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, x: acc + x))
-    w = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
-    return (emb.crossJoin(F.broadcast(cent)).withColumn("dist", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", F.col("cid").alias("cluster"),
-                    F.round("dist", 4).alias("dist")))
+    """Lloyd assignment step over the embedding column — see
+    :func:`_kmeans_assignment` for the map-only plan shape (the oracle
+    recomputes the same assignment as an explicit all-pairs
+    distance + tie-deterministic row_number, a deliberately DIFFERENT
+    query shape arriving at the same rows)."""
+    a = _kmeans_assignment(spark, sf)
+    return a.select("vec_id", "cluster", F.round("dist", 4).alias("dist"))
 
 
 @q("kmeans_update", """
@@ -1949,7 +1986,7 @@ FROM ex GROUP BY cluster, pos
 """)
 def kmeans_update(spark, sf):
     """Lloyd update step: per-cluster component-wise centroid means
-    for the kmeans_assign assignment — posexplode(vector) →
+    for the shared :func:`_kmeans_assignment` — posexplode(vector) →
     groupBy(cluster, position) avg, i.e. the ONE shuffle of a k-means
     iteration, keyed on (cluster, pos) so K×dim cells spread across
     the cluster instead of K hot groups. `+ 0` after rounding
@@ -1957,17 +1994,7 @@ def kmeans_update(spark, sf):
     and -0.0 vs 0.0 hash differently despite comparing equal)."""
     emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cent = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-    dist = F.sqrt(F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, x: acc + x))
-    w = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
-    assign = (emb.crossJoin(F.broadcast(cent))
-              .withColumn("dist", dist)
-              .withColumn("rn", F.row_number().over(w))
-              .where(F.col("rn") == 1)
-              .select("vec_id", F.col("cid").alias("cluster")))
+    assign = _kmeans_assignment(spark, sf).select("vec_id", "cluster")
     return (assign.join(emb, "vec_id")
             .select("cluster", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster", "pos")

@@ -12,6 +12,7 @@ input snapshot exists — committed buckets are never recomputed.
 from __future__ import annotations
 
 import argparse
+import sys
 
 from kg import io
 from kg.session import get_spark
@@ -47,6 +48,16 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark(app_name="kg-pipeline")
     t0 = io.read_table(spark, args.input)
+    if args.clustered_input:
+        from kg.stages.extract import clustered_layout_ok
+
+        if not clustered_layout_ok(t0):
+            print("WARN: --clustered-input requested but an input file "
+                  "exceeds spark.sql.files.maxPartitionBytes — Spark "
+                  "will split it and conversations cut at the split "
+                  "lose their cross-partition pairs. Falling back to "
+                  "the shuffle path.", file=sys.stderr)
+            args.clustered_input = False
     out = pipeline.run(spark, t0,
                        weights_bc=score.broadcast_weights(
                            spark, encoder=args.encoder),

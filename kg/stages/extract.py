@@ -159,6 +159,50 @@ def xt_group_pairs(conv_id, items: list, k: int,
     return rows
 
 
+def _parse_bytes_conf(v: str) -> int:
+    """Spark size confs come back as '134217728b', '128MB', or a bare
+    number; normalize to bytes."""
+    s = v.strip().lower()
+    for suffix, mult in (("tb", 2**40), ("gb", 2**30), ("mb", 2**20),
+                         ("kb", 2**10), ("t", 2**40), ("g", 2**30),
+                         ("m", 2**20), ("k", 2**10), ("b", 1)):
+        if s.endswith(suffix):
+            return int(s[: -len(suffix)]) * mult
+    return int(s)
+
+
+def clustered_layout_ok(df: DataFrame) -> bool:
+    """Cheap local check of clause (2) of the clustered-input contract
+    (see :func:`cross_turn_prepared`): no input file of ``df`` exceeds
+    ``spark.sql.files.maxPartitionBytes``, i.e. Spark will not split
+    any file — and splitting is what cuts a conversation across scan
+    partitions even on a correctly bucket-written table. Returns True
+    for non-file inputs and non-local URIs (nothing checkable — the
+    write-side guarantee is then the caller's responsibility, clause
+    (1) always is)."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return True
+    if not files:
+        return True
+    limit = _parse_bytes_conf(df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b"))
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return True  # remote store: can't stat cheaply from here
+        try:
+            if os.path.getsize(u.path) > limit:
+                return False
+        except OSError:
+            return True
+    return True
+
+
 def cross_turn_prepared(transcripts: DataFrame,
                         chunk: int = 256,
                         clustered_input: bool = False) -> DataFrame:
@@ -181,18 +225,25 @@ def cross_turn_prepared(transcripts: DataFrame,
     ``clustered_input=True`` (r5) skips the exchange entirely: an
     in-partition sort feeds the stream directly off the scan. Only
     correct when the storage layout already CONTAINS each conversation
-    in a single scan partition — i.e. the table was written bucketed /
-    hash-repartitioned by conv_id (kg.datagen does; an Iceberg table
-    partitioned by bucket(conv_id) does) AND no input file exceeds
-    ``spark.sql.files.maxPartitionBytes`` (a split file could cut a
-    conversation in two; Spark COMBINING small files is fine — whole
-    files are preserved). At 10^12-turn scale this is the difference
-    between shuffling the whole corpus and shuffling nothing; the
-    equivalence against the shuffle path on a conv-bucketed input is
-    pinned in tests/test_extract_score.py. When the layout contract is
-    violated, pairs that span the partition cut are dropped — same
-    failure class as the documented chunk-boundary drop, NOT wrong
-    pairs — but don't do that; the flag is an explicit opt-in."""
+    in a single scan partition. The precise contract (stricter than
+    "bucketed by conv_id" — review-caught): (1) every conversation's
+    turns live in ONE FILE — a single-commit hash-repartitioned write
+    gives this (kg.datagen does); an Iceberg table partitioned by
+    bucket(conv_id) gives it only after per-bucket compaction, since
+    multi-commit appends spread one conversation across a bucket's
+    files and different files land in different scan partitions; and
+    (2) no file exceeds ``spark.sql.files.maxPartitionBytes`` (a split
+    file cuts a conversation in two; Spark COMBINING small files is
+    fine — whole files are preserved). :func:`clustered_layout_ok`
+    checks (2) cheaply — callers on local storage should gate on it
+    (bench does); (1) is a write-side discipline only the writer can
+    guarantee. At 10^12-turn scale this is the difference between
+    shuffling the whole corpus and shuffling nothing; the equivalence
+    against the shuffle path on a conv-bucketed input is pinned in
+    tests/test_extract_score.py. When the contract is violated, pairs
+    that span the partition cut are dropped — same failure class as
+    the documented chunk-boundary drop, NOT wrong pairs — but don't
+    do that; the flag is an explicit opt-in."""
     from pyspark.sql import functions as F
 
     from kg.stages.skew import cpu_stage_partitions

@@ -276,3 +276,31 @@ def test_clustered_input_equals_shuffle_path(spark, tmp_path):
             for r in df.collect())
 
     assert key_rows(fa) == key_rows(fb)
+
+
+def test_clustered_layout_ok_guard(spark, tmp_path):
+    """clustered_layout_ok: True for small local files and in-memory
+    frames; False once any input file exceeds maxPartitionBytes (the
+    regime where Spark splits files mid-conversation and the
+    clustered fast path would silently drop pairs)."""
+    from kg import datagen
+    from kg.stages.extract import clustered_layout_ok
+
+    pdf, _ = datagen.generate(n_conversations=20, seed=5)
+    t0 = spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+    assert clustered_layout_ok(t0)  # no files: nothing checkable
+
+    path = str(tmp_path / "small")
+    t0.repartition(2, "conv_id").write.parquet(path)
+    small = spark.read.parquet(path)
+    assert clustered_layout_ok(small)
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        assert not clustered_layout_ok(spark.read.parquet(path))
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)

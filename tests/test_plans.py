@@ -185,3 +185,18 @@ def test_clustered_cross_turn_plan_has_no_exchange(spark, tmp_path):
     assert "Join" not in plan, plan
     assert "MapInPandas" in plan
     assert "Sort (" in plan  # the in-partition sort survives
+
+
+def test_kmeans_assign_data_path_is_exchange_free(spark):
+    """The Lloyd assignment must not shuffle the vector scan: an
+    earlier draft's per-vector row_number window silently added
+    Exchange hashpartitioning(vec_id) (caught in review against the
+    docstring's map-only claim). The shipped argmin is an array fold
+    over a 1-row broadcast centroid array — no vec_id partitioning,
+    no Window, anywhere in the plan."""
+    from kg import contract
+
+    plan = _plan(contract.Q["kmeans_assign"][0](spark, SF))
+    assert "hashpartitioning(vec_id" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
