@@ -1830,13 +1830,14 @@ def tfidf_top_terms(spark, sf):
             .select("doc_id", "term", "rank", "tfidf"))
 
 
-#: PageRank constants, shared by the Spark entry and the oracle text
-#: below (both sides interpolate THESE, so the two engines use the
-#: exact same double literals — 1.0-0.85 in Python is 2.8e-17 away
-#: from the parsed literal 0.15, which is harmless today but becomes
-#: a desynchronized oracle the day someone edits one copy)
-_PR_DAMP = 0.85
-_PR_TELEPORT = 0.15
+#: PageRank constants, shared by the Spark operator
+#: (kg/stages/graph.py — the contract entry calls graph.pagerank) and
+#: the oracle text below (the SQL interpolates THESE, so the two
+#: engines use the exact same double literals — 1.0-0.85 in Python is
+#: 2.8e-17 away from the parsed literal 0.15, which is harmless today
+#: but becomes a desynchronized oracle the day someone edits one copy)
+from kg.stages.graph import DAMP as _PR_DAMP  # noqa: E402
+from kg.stages.graph import TELEPORT as _PR_TELEPORT  # noqa: E402
 
 _PR_IT_SQL = ("""{{out}} AS (
   SELECT nodes.node, ({tel} / n.n) + {damp} * coalesce(c.s, 0) AS pr
@@ -1879,6 +1880,8 @@ def pagerank_iter3(spark, sf):
     same discipline kg/stages/canon.py uses for CC). Scores rounded to
     6 decimals on both engines; sum-order ulp drift across 3
     iterations is ~1e-12, far under the rounding grain."""
+    from kg.stages import graph
+
     li = _t(spark, sf, "lineitem")
     e0 = (li.select(
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
@@ -1888,22 +1891,7 @@ def pagerank_iter3(spark, sf):
     edges = e0.unionByName(e0.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    ncnt = nodes.select(F.count("*").alias("n"))
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    pr = (nodes.crossJoin(F.broadcast(ncnt))
-          .select("node", (F.lit(1.0) / F.col("n")).alias("pr")))
-    for _ in range(3):
-        contrib = (edges.join(pr, edges.src == pr.node)
-                   .join(outdeg, "src")
-                   .select(F.col("dst").alias("node"),
-                           (F.col("pr") / F.col("outdeg")).alias("c")))
-        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        pr = (nodes.join(summed, "node", "left")
-              .crossJoin(F.broadcast(ncnt))
-              .select("node",
-                      (F.lit(_PR_TELEPORT) / F.col("n")
-                       + _PR_DAMP * F.coalesce(F.col("s"), F.lit(0.0)))
-                      .alias("pr")))
+    pr = graph.pagerank(nodes, edges, iters=3)
     return pr.select("node", F.round("pr", 6).alias("pr"))
 
 
