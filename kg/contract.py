@@ -1769,15 +1769,29 @@ def pii_scrub(spark, sf):
         F.lit("@example.com card 4242-"),
         F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
         F.lit("-0000-1234"))
+    return (_t(spark, sf, "customer").select(
+        "c_custkey", *pii_scrub_cols(raw)))
+
+
+def pii_scrub_cols(raw) -> list:
+    """The scrub battery as reusable columns over any string
+    expression ``raw``: scrubbed (card → email → residual-digit-run
+    replacement, IN THAT ORDER — card first so its digit groups are
+    not half-eaten by the generic run rule), plus the three match
+    counters computed on the ORIGINAL text. One definition shared by
+    the driver entry and the per-rule firing tests
+    (tests/test_contract.py), so a pattern or order edit cannot leave
+    the tests validating a different chain than the entry ships."""
     scrubbed = F.regexp_replace(
         F.regexp_replace(F.regexp_replace(raw, _PII_CARD, "<CARD>"),
                          _PII_EMAIL, "<EMAIL>"),
         _PII_NUM, "<NUM>")
-    return (_t(spark, sf, "customer").select(
-        "c_custkey", scrubbed.alias("scrubbed"),
+    return [
+        scrubbed.alias("scrubbed"),
         F.regexp_count(raw, F.lit(_PII_EMAIL)).alias("n_email"),
         F.regexp_count(raw, F.lit(_PII_CARD)).alias("n_card"),
-        F.regexp_count(raw, F.lit(_PII_NUM)).alias("n_digit_runs")))
+        F.regexp_count(raw, F.lit(_PII_NUM)).alias("n_digit_runs"),
+    ]
 
 
 @q("tfidf_top_terms", """

@@ -148,3 +148,38 @@ def test_entry_smoke(spark):
     assert df.count() > 0
     assert [f.name for f in df.schema.fields] == [
         "subj", "pred", "obj", "confidence", "n_support"]
+
+
+def test_pii_scrub_rules_fire_individually(spark):
+    """Per-rule firing behavior of the PII battery on crafted strings
+    (the driver oracle certifies the shared arithmetic on real data;
+    this pins each rule's semantics — same split of labor as the
+    Gopher battery's crafted-doc tests). Uses contract.pii_scrub_cols,
+    the exact column chain the entry ships."""
+    cases = [
+        # (text, scrubbed, n_email, n_card, n_digit_runs)
+        ("write to jo.doe+x@mail.example.org today",
+         "write to <EMAIL> today", 1, 0, 0),
+        ("pay 1111-2222-3333-4444 now",
+         "pay <CARD> now", 0, 1, 4),          # counters see raw text
+        ("pin 123 code 12345",
+         "pin 123 code <NUM>", 0, 0, 1),      # runs < 4 digits survive
+        ("no pii here", "no pii here", 0, 0, 0),
+        # card first: the generic digit-run rule must not half-eat it
+        ("a@b.co 9999-8888-7777-6666 id 000111222",
+         "<EMAIL> <CARD> id <NUM>", 1, 1, 5),
+        ("", "", 0, 0, 0),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(t,) for t, *_ in cases], "raw string")
+    rows = {r["raw"]: r for r in
+            df.select("raw", *contract.pii_scrub_cols(F.col("raw")))
+              .collect()}
+    assert len(rows) == len(cases)
+    for text, scrubbed, n_email, n_card, n_runs in cases:
+        row = rows[text]
+        assert row["scrubbed"] == scrubbed, text
+        assert row["n_email"] == n_email, text
+        assert row["n_card"] == n_card, text
+        assert row["n_digit_runs"] == n_runs, text
