@@ -2004,6 +2004,226 @@ def kmeans_update(spark, sf):
                  .alias("mean_val")))
 
 
+_LPA_IT_SQL = """{out} AS (
+  SELECT n.node, least(p.label, coalesce(m.ml, p.label)) AS label
+  FROM nodes n JOIN {src} p ON n.node = p.node
+  LEFT JOIN (SELECT dst AS node, min(label) AS ml
+             FROM edges JOIN {src} ON edges.src = {src}.node
+             GROUP BY dst) m ON n.node = m.node)"""
+
+
+@q("min_label_prop_iter3", """
+WITH e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                            'p' || CAST(l_partkey AS VARCHAR) AS dst
+            FROM lineitem),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+it0 AS (SELECT node, node AS label FROM nodes),
+""" + _LPA_IT_SQL.format(out="it1", src="it0") + ",\n"
+    + _LPA_IT_SQL.format(out="it2", src="it1") + ",\n"
+    + _LPA_IT_SQL.format(out="it3", src="it2") + """
+SELECT node, label FROM it3
+""")
+def min_label_prop_iter3(spark, sf):
+    """Bounded synchronous min-label propagation (3 rounds) on the
+    same symmetrized supplier↔part graph pagerank_iter3 uses: after
+    round k each node holds the minimum node id in its k-hop
+    neighborhood — the HASH-MIN primitive the unbounded CC loop
+    (kg/stages/canon.py, Kiveris et al. 2014) iterates to fixpoint,
+    certified here at a FIXED horizon so the per-round message
+    semantics (not just the fixpoint) are hash-matched; a bounded run
+    is also the k-hop reachability aggregation. Per round: edges ⋈
+    labels → groupBy(dst) min → least with own label (map-side
+    partial min combines before the shuffle; string labels compare
+    bytewise identically in Spark and DuckDB). DuckDB replays the 3
+    unrolled rounds."""
+    from kg.stages import graph
+
+    li = _t(spark, sf, "lineitem")
+    e0 = (li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+         .alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+         .alias("dst")).distinct())
+    edges = e0.unionByName(e0.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    return graph.min_label_propagation(nodes, edges, iters=3)
+
+
+@q("triangle_counts_parts", """
+WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+            FROM lineitem),
+e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+deg AS (SELECT node, count(*) AS deg FROM (
+            SELECT src AS node FROM e
+            UNION ALL SELECT dst FROM e) GROUP BY node),
+-- src < dst by construction, so the (deg, id) tie-break reduces to
+-- deg(src) <= deg(dst) — same orientation the Spark struct compare
+-- (sdeg, src) < (ddeg, dst) produces
+o AS (SELECT CASE WHEN ds.deg <= dd.deg THEN e.src ELSE e.dst END
+             AS lo,
+             CASE WHEN ds.deg <= dd.deg THEN e.dst ELSE e.src END
+             AS hi
+      FROM e JOIN deg ds ON e.src = ds.node
+             JOIN deg dd ON e.dst = dd.node),
+tri AS (SELECT w1.lo AS a, w1.hi AS b, w2.hi AS c
+        FROM o w1 JOIN o w2 ON w1.hi = w2.lo
+        WHERE EXISTS (SELECT 1 FROM o x
+                      WHERE x.lo = w1.lo AND x.hi = w2.hi)),
+corners AS (SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
+""")
+def triangle_counts_parts(spark, sf):
+    """Per-node triangle counts on the part co-purchase graph (parts
+    co-occurring in one order, ~116k undirected edges at sf0.01) via
+    degree-ordered orientation (Suri & Vassilvitskii 2011) —
+    kg/stages/graph.triangle_counts: orient each edge toward the
+    higher-(degree, id) endpoint, so every triangle closes at exactly
+    one wedge and the wedge join's fan-out is bounded by oriented
+    out-degree ≤ O(sqrt(E)) instead of the raw power-law max degree —
+    on a 100 TB co-occurrence graph this is the difference between a
+    feasible self-join and an exploding one. DuckDB replays the same
+    orientation (the tie-break reduces to deg<= because src < dst by
+    construction) and closes wedges with EXISTS = the semi-join."""
+    from kg.stages import graph
+
+    lp = (_t(spark, sf, "lineitem")
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("p")).distinct())
+    b = lp.select(F.col("ok"), F.col("p").alias("p2"))
+    edges = (lp.join(b, "ok")
+             .where(F.col("p") < F.col("p2"))
+             .select(F.col("p").alias("src"),
+                     F.col("p2").alias("dst")).distinct())
+    return graph.triangle_counts(edges)
+
+
+#: boilerplate threshold shared by the contract entry and its oracle:
+#: a turn text is boilerplate when it appears in MORE than this many
+#: distinct conversations (sf0.01 events: nconv spans 6–31 with
+#: median 19, so the threshold splits the corpus non-trivially)
+_BOILER_MAX_CONVS = 19
+
+
+@q("boilerplate_turn_filter", """
+WITH t AS (SELECT event_id, CAST(user_id AS VARCHAR) AS conv_id,
+                  event_type || ' ' || props AS text
+           FROM events),
+hot AS (SELECT text FROM t GROUP BY text
+        HAVING count(DISTINCT conv_id) > {thr})
+SELECT event_id, conv_id, text FROM t
+WHERE text NOT IN (SELECT text FROM hot)
+""".format(thr=_BOILER_MAX_CONVS))
+def boilerplate_turn_filter(spark, sf):
+    """Boilerplate-turn removal on transcript-shaped rows (the
+    transcripts-native analog of C4's repeated-span dedup: a turn
+    whose exact text recurs across > _BOILER_MAX_CONVS = 19 distinct
+    conversations is template/preamble, not content) —
+    kg/stages/corpus.drop_boilerplate_turns. Scale shape: the hot set
+    is bounded by turns/threshold distinct strings, so it broadcasts
+    into a left_anti join and the 10^12-turn table itself is never
+    shuffled; the hot-set aggregation's shuffle carries O(distinct
+    texts) after map-side partial countDistinct. DuckDB replays via
+    NOT IN over the HAVING-filtered text set."""
+    from kg.stages.corpus import drop_boilerplate_turns
+
+    ev = _t(spark, sf, "events")
+    turns = ev.select(
+        "event_id", F.col("user_id").cast("string").alias("conv_id"),
+        F.concat_ws(" ", "event_type", "props").alias("text"))
+    return drop_boilerplate_turns(
+        turns, max_convs=_BOILER_MAX_CONVS).select(
+        "event_id", "conv_id", "text")
+
+
+@q("stratified_sample_lang", """
+WITH t AS (SELECT doc_id, lang, source,
+                  row_number() OVER (
+                      PARTITION BY lang
+                      ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)),
+                               doc_id) AS rk,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+SELECT doc_id, lang, source FROM t WHERE rk <= ceil(0.2 * n)
+""")
+def stratified_sample_lang(spark, sf):
+    """Deterministic stratified sampling with exact per-stratum
+    quotas — kg/stages/corpus.stratified_sample: within each language
+    stratum keep ceil(0.2 × stratum size) documents ranked by
+    md5('strat:' || doc_id) (salted so this sample is independent of
+    corpus_sample_hash's md5 rule; both engines produce identical
+    lowercase-hex md5, and the doc_id tie-break makes the rank total).
+    Unlike the global hash-threshold sample, small strata are never
+    rounded away — every language keeps its quota exactly. One
+    window shuffle on the stratum key (rank and stratum count share
+    the partitioning); the 100 TB giant-stratum variant is documented
+    in the operator docstring."""
+    from kg.stages.corpus import stratified_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(d, ["lang"], 0.2, "doc_id")
+
+
+@q("c4_quality_filter", """
+WITH lines AS (
+  SELECT lang, source,
+         CASE WHEN doc_id % 101 = 0 THEN 'lorem ipsum ' ELSE '' END
+         || text
+         || CASE WHEN doc_id % 3 = 0 THEN '.'
+                 WHEN doc_id % 3 = 1 THEN '!' ELSE '' END
+         || CASE WHEN doc_id % 97 = 0 THEN ' {' ELSE '' END AS line
+  FROM documents),
+f AS (SELECT lang, source, line,
+             (suffix(line, '.') OR suffix(line, '!')
+              OR suffix(line, '?') OR suffix(line, '"'))
+             AND len(string_split(line, ' ')) >= 5 AS keep,
+             contains(line, '{') OR contains(line, '}') AS brace,
+             contains(lower(line), 'lorem ipsum') AS lorem
+      FROM lines)
+SELECT lang, source, count(*) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       round(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS kept_frac,
+       bool_or(brace) AS has_brace, bool_or(lorem) AS has_lorem,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END) >= 3
+           AND NOT bool_or(brace) AND NOT bool_or(lorem) AS c4_keep
+FROM f GROUP BY lang, source
+""")
+def c4_quality_filter(spark, sf):
+    """The C4 cleaning battery (Raffel et al. 2020, §2.2) —
+    kg/stages/corpus.c4_page_stats: pages are (lang, source) groups
+    of the documents table, lines are the member documents with
+    DETERMINISTIC dirt injected in-query (terminal punctuation by
+    doc_id%3, a brace at doc_id%97=0, 'lorem ipsum' at doc_id%101=0 —
+    this corpus is punctuation-free, so like pii_scrub the input is
+    constructed so every rule observably FIRES under the driver
+    hash, not vacuously passes). Line rule: terminal punctuation AND
+    ≥5 words; page rules: any brace / any lorem-ipsum / <3 kept
+    lines. All JVM string exprs + ONE groupBy on the page key
+    (partial agg combines map-side — the shuffle carries O(pages)
+    rows); DuckDB recomputes every flag from the same construction."""
+    from kg.stages.corpus import c4_page_stats
+
+    d = _t(spark, sf, "documents")
+    lines = d.select(
+        "lang", "source",
+        F.concat(
+            F.when(F.col("doc_id") % 101 == 0, F.lit("lorem ipsum "))
+             .otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("."))
+             .when(F.col("doc_id") % 3 == 1, F.lit("!"))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 97 == 0, F.lit(" {"))
+             .otherwise(F.lit(""))).alias("line"))
+    return c4_page_stats(lines, ["lang", "source"])
+
+
 # Defined LAST among oracle entries deliberately: driver_order() packs
 # oracle entries into the ~50-slot window in definition order (minus
 # the WINDOW_TAIL rotation below), and the tolerance certificate below
@@ -2038,20 +2258,24 @@ def approx_distinct(spark, sf):
 
 
 #: Long-stable oracle entries rotated to the END of the oracle group
-#: (r5): the registry now holds 58 oracle-paired entries against the
-#: driver's 50-slot window, so eight must sit past it. These eight are
-#: §2-F relational entries that have hash-matched in EVERY driver round
-#: since round 1 and carry committed self-hash pins at sf0.01
-#: (tests/test_pins.py), so parking them costs no evidence — while
-#: doc_repetition_filter, approx_distinct, gopher_quality_filter,
-#: pii_scrub, tfidf_top_terms, pagerank_iter3, kmeans_assign and
-#: kmeans_update (never driver-certified before round 5) take their
-#: slots. Grow this tuple (stable §2-F entries first) whenever a new
-#: oracle entry would otherwise push a never-certified one past the
-#: window.
+#: (r5): the registry now holds 63 oracle-paired entries against the
+#: driver's 50-slot window, so thirteen must sit past it. These
+#: thirteen are §2-F relational entries that have hash-matched in
+#: EVERY driver round since round 1 and carry committed self-hash
+#: pins at sf0.01 (tests/test_pins.py), so parking them costs no
+#: evidence — while the never-driver-certified round-5 entries
+#: (doc_repetition_filter, approx_distinct, gopher_quality_filter,
+#: pii_scrub, tfidf_top_terms, pagerank_iter3, kmeans_assign,
+#: kmeans_update, min_label_prop_iter3, triangle_counts_parts,
+#: boilerplate_turn_filter, stratified_sample_lang,
+#: c4_quality_filter) take their slots. Grow this tuple (stable §2-F
+#: entries first) whenever a new oracle entry would otherwise push a
+#: never-certified one past the window.
 WINDOW_TAIL = ("map_funcs", "set_ops", "json_funcs",
                "string_funcs", "date_funcs", "array_funcs",
-               "posexplode_tokens", "explode_words")
+               "posexplode_tokens", "explode_words",
+               "grouping_sets", "rollup_agg", "cube_agg",
+               "window_analytic", "window_first_last")
 
 #: the driver evaluates this many leading entries of queries()
 DRIVER_WINDOW = 50

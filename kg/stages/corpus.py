@@ -31,7 +31,9 @@ from pyspark.sql import DataFrame, functions as F
 from kg import spec
 from kg.stages import canon
 
-__all__ = ["corpus_pipeline", "gopher_quality_cols"]
+__all__ = ["corpus_pipeline", "gopher_quality_cols",
+           "drop_boilerplate_turns", "c4_page_stats",
+           "stratified_sample"]
 
 STOPWORDS = spec.STOPWORDS  # one shared definition, no drift
 
@@ -95,6 +97,116 @@ def gopher_quality_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_FRAC)
         & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_FRAC)
         & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC))
+
+
+#: C4 cleaning rules (Raffel et al. 2020, §2.2): a retained line must
+#: end in terminal punctuation and carry at least 5 words; a page is
+#: dropped outright if it contains a curly brace (code) or the
+#: "lorem ipsum" placeholder, or retains fewer than 3 lines.
+C4_TERMINAL = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+
+
+def c4_line_keep(line_col: str = "line"):
+    """The C4 LINE rule as one boolean JVM expression: terminal
+    punctuation AND ≥ C4_MIN_LINE_WORDS words. Page-level rules
+    (brace / lorem ipsum / kept-line floor) live in
+    :func:`c4_page_stats` — C4 applies them to the whole page, not
+    per line."""
+    l = F.col(line_col)
+    ends = None
+    for p in C4_TERMINAL:
+        e = l.endswith(p)
+        ends = e if ends is None else (ends | e)
+    return ends & (F.size(F.split(l, " ")) >= C4_MIN_LINE_WORDS)
+
+
+def c4_page_stats(lines: DataFrame, page_cols: list[str],
+                  line_col: str = "line") -> DataFrame:
+    """C4 page filtering (Raffel et al. 2020, §2.2) over a table of
+    (page-key, line) rows: per page, count total and rule-passing
+    lines and flag the page-level drop conditions (any brace, any
+    'lorem ipsum'); ``c4_keep`` = ≥ C4_MIN_KEPT_LINES retained lines
+    and neither flag. One groupBy on the page key — the line rule is
+    a pure map expression, so partial aggregation combines map-side
+    and the shuffle carries O(pages) rows, not O(lines). Returns one
+    row per page: page_cols + (n_lines, n_kept, kept_frac, has_brace,
+    has_lorem, c4_keep)."""
+    l = F.col(line_col)
+    flagged = lines.withColumns({
+        "_keep": c4_line_keep(line_col),
+        "_brace": l.contains("{") | l.contains("}"),
+        "_lorem": F.lower(l).contains("lorem ipsum"),
+    })
+    agg = flagged.groupBy(*page_cols).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("_keep").cast("int")).alias("n_kept"),
+        F.max("_brace").alias("has_brace"),
+        F.max("_lorem").alias("has_lorem"))
+    return agg.select(
+        *page_cols, "n_lines", "n_kept",
+        F.round(F.col("n_kept") / F.col("n_lines"), 4)
+        .alias("kept_frac"),
+        "has_brace", "has_lorem",
+        ((F.col("n_kept") >= C4_MIN_KEPT_LINES)
+         & ~F.col("has_brace") & ~F.col("has_lorem"))
+        .alias("c4_keep"))
+
+
+def drop_boilerplate_turns(turns: DataFrame,
+                           text_col: str = "text",
+                           conv_col: str = "conv_id",
+                           max_convs: int = 19) -> DataFrame:
+    """Remove boilerplate turns from a transcripts table: a turn is
+    boilerplate when its exact text occurs in MORE than ``max_convs``
+    distinct conversations (system preambles, canned greetings,
+    templated tool banners — the transcripts-native analog of C4's
+    repeated-span removal: cross-document repetition is structure,
+    not signal).
+
+    Scale shape: one groupBy(text) countDistinct(conv) builds the hot
+    set — by construction it is tiny (a text needs > max_convs
+    conversations, so |hot| ≤ turns/max_convs distinct strings), so
+    it is BROADCAST into a left_anti join and the filter itself is
+    map-only: the 10^12-turn table is never shuffled. The count
+    aggregation's shuffle carries O(distinct texts) after map-side
+    partial countDistinct."""
+    hot = (turns.groupBy(F.col(text_col).alias("_t"))
+           .agg(F.countDistinct(conv_col).alias("_nconv"))
+           .where(F.col("_nconv") > max_convs)
+           .select("_t"))
+    return turns.join(F.broadcast(hot),
+                      turns[text_col] == hot["_t"], "left_anti")
+
+
+def stratified_sample(df: DataFrame, strata_cols: list[str],
+                      frac: float, id_col: str,
+                      salt: str = "strat") -> DataFrame:
+    """Deterministic per-stratum sampling with EXACT quotas:
+    within each stratum keep ceil(frac × stratum_size) rows, chosen
+    by md5 rank over a salted id (engine- and partitioning-
+    independent — the same rule corpus_sample_hash pins, but with an
+    exact per-group quota instead of a global hash threshold, so
+    small strata are never rounded away).
+
+    Shape: one window over the stratum key (rank + count ride the
+    same partitioning — a single shuffle). The stratum count is
+    O(groups) map-side combined. At 100 TB with few giant strata the
+    window sort dominates; switch to the two-pass variant then:
+    aggregate exact stratum sizes (tiny), broadcast per-stratum hash
+    thresholds from quantiles, and fall back to this exact-quota
+    window only for strata near the quota boundary."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(salt + ":"),
+                         F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(key, F.col(id_col))
+    wc = Window.partitionBy(*strata_cols)
+    return (df.withColumns({"_rk": F.row_number().over(w),
+                            "_n": F.count("*").over(wc)})
+            .where(F.col("_rk") <= F.ceil(F.lit(frac) * F.col("_n")))
+            .drop("_rk", "_n"))
 
 
 def _qc_cols(df: DataFrame) -> DataFrame:

@@ -1,6 +1,7 @@
 """Graph analytics over DataFrame edge lists (SURVEY.md §2 —
-round-5 addition): PageRank power iteration as the join-aggregate
-shape GraphFrames' aggregateMessages lowers to.
+round-5 additions): PageRank power iteration, synchronous min-label
+propagation, and degree-ordered triangle counting — each as the
+join-aggregate shape GraphFrames' aggregateMessages lowers to.
 
 Dataflow per iteration (the plan you'd want on a billion-edge graph):
 
@@ -53,3 +54,88 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 3,
                 and i + 1 < iters:
             pr = pr.localCheckpoint(eager=True)
     return pr
+
+
+def min_label_propagation(nodes: DataFrame, edges: DataFrame,
+                          iters: int = 3,
+                          checkpoint_every: int = 0) -> DataFrame:
+    """``iters`` synchronous rounds of min-label propagation — the
+    HASH-MIN primitive bounded CC loops are built from (Kiveris et
+    al. 2014 use the unbounded fixpoint; kg/stages/canon.py runs that
+    loop to convergence): label(v, 0) = v's own id; label(v, t) =
+    min(label(v, t-1), min over in-neighbors u of label(u, t-1)).
+    After k rounds every node holds the minimum node id within its
+    k-hop in-neighborhood, so a bounded run doubles as k-hop
+    reachability evidence; on a symmetrized graph the fixpoint is the
+    connected-component minimum.
+
+    Plan per round (same aggregateMessages lowering as
+    :func:`pagerank`): edges ⋈ labels (shuffle on the edge key) →
+    groupBy(dst) min (partial agg combines map-side) → left join back
+    to the node set, ``least`` with the node's own label. String
+    labels compare bytewise in both Spark and DuckDB, so the min is
+    engine-independent. Returns (node, label)."""
+    lab = nodes.select("node", F.col("node").alias("label"))
+    for i in range(iters):
+        msgs = (edges.join(lab, edges.src == lab.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("label").alias("nbr_min")))
+        lab = (nodes.join(msgs, "node", "left")
+               .join(lab.select("node",
+                                F.col("label").alias("own")), "node")
+               .select("node",
+                       F.least(F.col("own"),
+                               F.coalesce(F.col("nbr_min"),
+                                          F.col("own")))
+                       .alias("label")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < iters:
+            lab = lab.localCheckpoint(eager=True)
+    return lab
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an UNDIRECTED
+    simple graph given as distinct (src, dst) pairs with src < dst
+    (each undirected edge once). Degree-ordered orientation (the
+    standard scalable scheme, e.g. Suri & Vassilvitskii 2011's MR
+    triangle counting): orient every edge from its lower-(degree, id)
+    endpoint to the higher one — every triangle then has EXACTLY one
+    node with two out-edges, so
+
+        triangles = σ(o(a,b) ⋈ o(b,c)) ⋉ o(a,c)
+
+    counts each once, and the wedge fan-out is bounded by the
+    oriented out-degree ≤ O(sqrt(edges)) instead of the raw max
+    degree — the difference between a feasible and an exploding
+    self-join on a power-law co-occurrence graph. Two shuffles (wedge
+    join + closing semi-join) plus the degree aggregation; the corner
+    union re-aggregates by node. Returns (node, n_triangles) for
+    nodes in ≥1 triangle."""
+    deg = (edges.select(F.col("src").alias("node"))
+           .unionByName(edges.select(F.col("dst").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    ds = deg.select(F.col("node").alias("src"),
+                    F.col("deg").alias("sdeg"))
+    dd = deg.select(F.col("node").alias("dst"),
+                    F.col("deg").alias("ddeg"))
+    e = edges.join(ds, "src").join(dd, "dst")
+    fwd = F.struct(F.col("sdeg"), F.col("src")) \
+        < F.struct(F.col("ddeg"), F.col("dst"))
+    o = e.select(F.when(fwd, F.col("src")).otherwise(F.col("dst"))
+                 .alias("lo"),
+                 F.when(fwd, F.col("dst")).otherwise(F.col("src"))
+                 .alias("hi"))
+    w1 = o.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    w2 = o.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    wedges = w1.join(w2, "b")
+    # the orientation is a strict total order, so the closing edge of
+    # a path a→b→c can only be oriented a→c — one semi-join closes it
+    tri = wedges.join(
+        o.select(F.col("lo").alias("a"), F.col("hi").alias("c")),
+        ["a", "c"], "semi")
+    corners = (tri.select(F.col("a").alias("node"))
+               .unionByName(tri.select(F.col("b").alias("node")))
+               .unionByName(tri.select(F.col("c").alias("node"))))
+    return corners.groupBy("node").agg(
+        F.count("*").alias("n_triangles"))

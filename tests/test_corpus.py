@@ -158,3 +158,80 @@ def test_gopher_gate_in_pipeline(spark):
              for r in corpus.corpus_pipeline(docs, gopher=True).collect()}
     assert base == {1, 2}
     assert gated == {2}
+
+
+def test_boilerplate_turns_threshold_boundary(spark):
+    """drop_boilerplate_turns drops a text in MORE than max_convs
+    distinct conversations, keeps one at exactly max_convs (boundary
+    is exclusive), and repetition WITHIN one conversation never
+    counts toward the threshold."""
+    rows = []
+    # "hot": appears once in convs c0..c3 (4 distinct)
+    rows += [(i, f"c{i}", "hot banner") for i in range(4)]
+    # "warm": appears in exactly 3 distinct convs (= max_convs)
+    rows += [(10 + i, f"c{i}", "warm greeting") for i in range(3)]
+    # "local": 6 repeats inside ONE conversation
+    rows += [(20 + i, "c9", "local refrain") for i in range(6)]
+    t = spark.createDataFrame(
+        rows, "event_id long, conv_id string, text string")
+    kept = {r["text"] for r in corpus.drop_boilerplate_turns(
+        t, max_convs=3).collect()}
+    assert kept == {"warm greeting", "local refrain"}
+    n_local = (corpus.drop_boilerplate_turns(t, max_convs=3)
+               .where(F.col("text") == "local refrain").count())
+    assert n_local == 6  # all six intra-conv repeats survive
+
+
+def test_c4_each_rule_fires(spark):
+    """One crafted line per C4 rule (Raffel20 §2.2): no terminal
+    punctuation, under 5 words, brace page-flag, lorem-ipsum
+    page-flag, and the >=3-kept-lines page floor."""
+    pages = [
+        # page p0: 3 good lines + 1 unpunctuated + 1 short -> keep
+        ("p0", "this line has five proper words."),
+        ("p0", "another line with enough words here!"),
+        ("p0", 'a third keeper with plenty of words?'),
+        ("p0", "no terminal punctuation on this line"),
+        ("p0", "too short."),
+        # page p1: 3 good lines but one brace -> dropped
+        ("p1", "these are perfectly fine words."),
+        ("p1", "and these five words also work."),
+        ("p1", "function() { return code; }."),
+        # page p2: lorem ipsum -> dropped
+        ("p2", "Lorem Ipsum dolor sit amet line."),
+        ("p2", "some other normal words right here."),
+        ("p2", "and a third normal line too."),
+        # page p3: only 2 kept lines -> below floor
+        ("p3", "first of exactly two keepers here."),
+        ("p3", "second of exactly two keepers here."),
+    ]
+    out = {r["page"]: r for r in corpus.c4_page_stats(
+        spark.createDataFrame(pages, "page string, line string"),
+        ["page"]).collect()}
+    assert out["p0"]["c4_keep"] and out["p0"]["n_kept"] == 3
+    assert out["p0"]["n_lines"] == 5
+    assert not out["p1"]["c4_keep"] and out["p1"]["has_brace"]
+    assert not out["p2"]["c4_keep"] and out["p2"]["has_lorem"]
+    assert not out["p3"]["c4_keep"] and out["p3"]["n_kept"] == 2
+
+
+def test_stratified_sample_exact_quotas(spark):
+    """ceil(frac*n) rows per stratum, independent of input
+    partitioning, and a 1-row stratum always survives (the property
+    a global hash-threshold sample cannot give)."""
+    import math
+
+    rows = ([(i, "en") for i in range(40)]
+            + [(100 + i, "de") for i in range(7)]
+            + [(200, "fi")])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = corpus.stratified_sample(df, ["lang"], 0.25, "doc_id")
+    got = {}
+    for r in out.collect():
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+    assert got == {"en": math.ceil(0.25 * 40),
+                   "de": math.ceil(0.25 * 7), "fi": 1}
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in corpus.stratified_sample(
+        df.repartition(13), ["lang"], 0.25, "doc_id").collect()}
+    assert a == b

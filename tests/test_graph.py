@@ -66,3 +66,82 @@ def test_pagerank_dangling_nodes_keep_teleport_only(spark):
     got = dict(graph.pagerank(nodes, _edges(spark, edge_list),
                               iters=3).collect())
     assert abs(got[3] - graph.TELEPORT / 4) < 1e-15
+
+
+def _numpy_khop_min(n, edge_list, iters):
+    """Independent reference: label(v,t) = min over {v} ∪ in-nbrs of
+    label(·, t-1), computed densely."""
+    lab = list(range(n))
+    for _ in range(iters):
+        nxt = list(lab)
+        for s, d in edge_list:
+            nxt[d] = min(nxt[d], lab[s])
+        lab = nxt
+    return lab
+
+
+def test_min_label_propagation_matches_dense_reference(spark):
+    # directed graph incl. a node with no in-edges (keeps own label)
+    edge_list = [(3, 0), (0, 1), (1, 2), (4, 2), (2, 4), (5, 4)]
+    n = 6
+    nodes = spark.range(n).select(
+        F.col("id").cast("string").alias("node"))
+    edges = spark.createDataFrame(
+        [(str(s), str(d)) for s, d in edge_list],
+        "src string, dst string")
+    for iters in (1, 2, 4):
+        got = dict(graph.min_label_propagation(nodes, edges,
+                                               iters=iters).collect())
+        want = _numpy_khop_min(n, edge_list, iters)
+        for v in range(n):
+            assert got[str(v)] == str(want[v]), (iters, v)
+
+
+def test_min_label_propagation_fixpoint_is_cc_min(spark):
+    # symmetrized 2-component graph; diameter 3 -> 3 rounds converge
+    half = [(0, 1), (1, 2), (2, 3), (5, 6), (6, 4)]
+    edge_list = half + [(d, s) for s, d in half]
+    nodes = spark.range(7).select(
+        F.col("id").cast("string").alias("node"))
+    edges = spark.createDataFrame(
+        [(str(s), str(d)) for s, d in edge_list],
+        "src string, dst string")
+    got = dict(graph.min_label_propagation(nodes, edges, iters=3,
+                                           checkpoint_every=2)
+               .collect())
+    assert got == {"0": "0", "1": "0", "2": "0", "3": "0",
+                   "4": "4", "5": "4", "6": "4"}
+
+
+def _brute_triangles(nodes, edge_set):
+    import itertools
+
+    per = {v: 0 for v in nodes}
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        if ((a, b) in edge_set and (b, c) in edge_set
+                and (a, c) in edge_set):
+            for v in (a, b, c):
+                per[v] += 1
+    return {v: k for v, k in per.items() if k}
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    n = 25
+    edge_set = {(a, b) for a in range(n) for b in range(a + 1, n)
+                if rng.random() < 0.25}
+    edges = spark.createDataFrame(sorted(edge_set),
+                                  "src long, dst long")
+    got = dict(graph.triangle_counts(edges).collect())
+    want = _brute_triangles(range(n), edge_set)
+    assert got == want and sum(want.values()) > 0
+
+
+def test_triangle_counts_bipartite_is_empty(spark):
+    # complete bipartite K_{3,3}: odd cycles impossible -> 0 rows
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(3) for b in range(10, 13)],
+        "src long, dst long")
+    assert graph.triangle_counts(edges).count() == 0
