@@ -200,3 +200,51 @@ def test_kmeans_assign_data_path_is_exchange_free(spark):
     assert "hashpartitioning(vec_id" not in plan, plan
     assert "Window" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_boilerplate_hot_set_broadcasts(spark):
+    """The boilerplate filter's contract is that the turn table is
+    never shuffled: the (tiny) hot-text set must arrive broadcast
+    into a LeftAnti BroadcastHashJoin. A SortMergeJoin here means
+    the 10^12-turn side got sorted and shuffled for a dim-sized
+    probe set."""
+    plan = _plan(contract.Q["boilerplate_turn_filter"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_stratified_sample_single_exchange(spark):
+    """Per-stratum rank and stratum count must share ONE shuffle on
+    the stratum key (two Window nodes over the same Exchange); a
+    second exchange means the count/rank windows partitioned
+    differently and the scan is paid twice."""
+    import re
+
+    plan = _plan(contract.Q["stratified_sample_lang"][0](spark, SF))
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan,
+                                flags=re.M))
+    assert n_exchange == 1, plan
+    assert plan.count("Window") >= 2
+
+
+def test_c4_page_agg_combines_map_side(spark):
+    """The C4 page aggregation's shuffle must carry O(pages): partial
+    aggregate functions before a single exchange."""
+    import re
+
+    plan = _plan(contract.Q["c4_quality_filter"][0](spark, SF))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan,
+                                flags=re.M))
+    assert n_exchange == 1, plan
+
+
+def test_graph_joins_stay_equi(spark):
+    """Triangle wedge/closing joins and LPA message joins must stay
+    hash/sort-merge equi-joins — BroadcastNestedLoopJoin or a
+    CartesianProduct means a join key was lost and the plan is
+    all-pairs (fatal at 10^9 edges)."""
+    for name in ("triangle_counts_parts", "min_label_prop_iter3"):
+        plan = _plan(contract.Q[name][0](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
