@@ -38,6 +38,13 @@ def main(argv: list[str] | None = None) -> None:
                          "with files under maxPartitionBytes): the "
                          "cross-turn pass then skips its shuffle "
                          "entirely")
+    ap.add_argument("--drop-boilerplate", type=int, default=0,
+                    metavar="MAX_CONVS",
+                    help="pre-filter turns whose exact text occurs in "
+                         "more than MAX_CONVS distinct conversations "
+                         "(system preambles / canned banners) before "
+                         "extraction; 0 = off. The hot-text set is "
+                         "broadcast, so the turn table is not shuffled")
     ap.add_argument("--resume", action="store_true",
                     help="(informational; resume is automatic when the "
                          "manifest matches the input snapshot)")
@@ -48,6 +55,16 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark(app_name="kg-pipeline")
     t0 = io.read_table(spark, args.input)
+    if args.drop_boilerplate > 0:
+        from kg.stages.corpus import drop_boilerplate_turns
+
+        # no eager count here: on a 10^12-turn table that would be
+        # two extra full scans just for a log line — the drop count
+        # shows up in the stage metrics the pipeline already emits
+        t0 = drop_boilerplate_turns(
+            t0, max_convs=args.drop_boilerplate)
+        print(f"boilerplate filter active "
+              f"(> {args.drop_boilerplate} convs)", file=sys.stderr)
     if args.clustered_input:
         from kg.stages.extract import clustered_layout_ok
 
