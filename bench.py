@@ -238,12 +238,17 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
     timed("skew_join_conv", skew_join)
 
     # --- representative relational operators at sf ------------------
+    # (triangle_counts_parts is deliberately absent: at sf0.1 the
+    # co-occurrence wedge join is minutes-scale by design — its scale
+    # evidence lives in tools/stress_graph.py --op triangles, where
+    # the graph is construction-bounded instead)
     for name in ("agg_basic", "join_inner", "window_rank",
                  "join_range_window", "topk", "knn_cosine_bruteforce",
                  "ann_bucket_join", "udaf_confidence_merge",
                  "two_phase_salted_agg", "ngram_jaccard_pairs",
                  "minhash_lsh_dedup", "text_quality_score",
-                 "token_count_bpe_learned"):
+                 "token_count_bpe_learned", "boilerplate_turn_filter",
+                 "pagerank_iter3", "min_label_prop_iter3"):
         fn, _ = contract.Q[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir)
               .write.mode("overwrite").format("noop").save())

@@ -26,16 +26,40 @@ DAMP = 0.85
 TELEPORT = 0.15
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """localCheckpoint(eager=False): computed once at first use, then
+    served from executor block storage for every later iteration.
+    Without this, the unrolled plan repeats the INPUT-DERIVATION
+    subtree (often a distinct over a fact-table scan) once per
+    iteration per consumer — at sf0.1 that alone made pagerank_iter3
+    89 s vs 29 s materialized (3 iterations; grows linearly with
+    iters). Same discipline GraphFrames applies by caching its
+    vertex/edge tables before iterating."""
+    return df.localCheckpoint(eager=False)
+
+
 def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 3,
-             checkpoint_every: int = 0) -> DataFrame:
+             checkpoint_every: int = 0,
+             materialize_inputs: bool = True) -> DataFrame:
     """``iters`` PageRank power iterations over ``edges`` (columns
     src, dst; every node listed in ``nodes.node`` — nodes without
     out-edges receive teleport mass only, their own mass is NOT
     redistributed, i.e. the simplified no-dangling-redistribution
     variant; feed a symmetrized edge list to avoid dangling mass
-    loss). Returns (node, pr) unrounded."""
+    loss). Returns (node, pr) unrounded.
+
+    ``materialize_inputs`` (default on) localCheckpoints nodes,
+    edges, and the out-degree table once so each iteration reads the
+    materialized graph instead of recomputing its derivation — see
+    :func:`_materialize`. Disable only when the inputs are already
+    cached/checkpointed by the caller."""
+    if materialize_inputs:
+        nodes = _materialize(nodes)
+        edges = _materialize(edges)
     ncnt = nodes.select(F.count("*").alias("n"))
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    if materialize_inputs:
+        outdeg = _materialize(outdeg)
     pr = (nodes.crossJoin(F.broadcast(ncnt))
           .select("node", (F.lit(1.0) / F.col("n")).alias("pr")))
     for i in range(iters):
@@ -58,7 +82,8 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 3,
 
 def min_label_propagation(nodes: DataFrame, edges: DataFrame,
                           iters: int = 3,
-                          checkpoint_every: int = 0) -> DataFrame:
+                          checkpoint_every: int = 0,
+                          materialize_inputs: bool = True) -> DataFrame:
     """``iters`` synchronous rounds of min-label propagation — the
     HASH-MIN primitive bounded CC loops are built from (Kiveris et
     al. 2014 use the unbounded fixpoint; kg/stages/canon.py runs that
@@ -74,7 +99,11 @@ def min_label_propagation(nodes: DataFrame, edges: DataFrame,
     groupBy(dst) min (partial agg combines map-side) → left join back
     to the node set, ``least`` with the node's own label. String
     labels compare bytewise in both Spark and DuckDB, so the min is
-    engine-independent. Returns (node, label)."""
+    engine-independent. Returns (node, label).
+    ``materialize_inputs``: see :func:`pagerank`."""
+    if materialize_inputs:
+        nodes = _materialize(nodes)
+        edges = _materialize(edges)
     lab = nodes.select("node", F.col("node").alias("label"))
     for i in range(iters):
         msgs = (edges.join(lab, edges.src == lab.node)
@@ -94,7 +123,8 @@ def min_label_propagation(nodes: DataFrame, edges: DataFrame,
     return lab
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame,
+                    materialize_inputs: bool = True) -> DataFrame:
     """Per-node triangle participation counts over an UNDIRECTED
     simple graph given as distinct (src, dst) pairs with src < dst
     (each undirected edge once). Degree-ordered orientation (the
@@ -111,7 +141,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     self-join on a power-law co-occurrence graph. Two shuffles (wedge
     join + closing semi-join) plus the degree aggregation; the corner
     union re-aggregates by node. Returns (node, n_triangles) for
-    nodes in ≥1 triangle."""
+    nodes in ≥1 triangle.
+
+    ``materialize_inputs`` localCheckpoints ``edges`` (consumed by
+    the degree agg AND the orientation join — an expensive edge
+    derivation, e.g. a co-occurrence self-join + distinct, would
+    otherwise run twice) and the oriented edge list ``o`` (consumed
+    three times: both wedge sides + the closing semi-join)."""
+    if materialize_inputs:
+        edges = _materialize(edges)
     deg = (edges.select(F.col("src").alias("node"))
            .unionByName(edges.select(F.col("dst").alias("node")))
            .groupBy("node").agg(F.count("*").alias("deg")))
@@ -126,6 +164,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
                  .alias("lo"),
                  F.when(fwd, F.col("dst")).otherwise(F.col("src"))
                  .alias("hi"))
+    if materialize_inputs:
+        o = _materialize(o)
     w1 = o.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     w2 = o.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     wedges = w1.join(w2, "b")
