@@ -82,7 +82,7 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 3,
 
 def min_label_propagation(nodes: DataFrame, edges: DataFrame,
                           iters: int = 3,
-                          checkpoint_every: int = 0,
+                          checkpoint_every: int | None = None,
                           materialize_inputs: bool = True) -> DataFrame:
     """``iters`` synchronous rounds of min-label propagation — the
     HASH-MIN primitive bounded CC loops are built from (Kiveris et
@@ -100,26 +100,36 @@ def min_label_propagation(nodes: DataFrame, edges: DataFrame,
     to the node set, ``least`` with the node's own label. String
     labels compare bytewise in both Spark and DuckDB, so the min is
     engine-independent. Returns (node, label).
-    ``materialize_inputs``: see :func:`pagerank`."""
+    ``materialize_inputs``: see :func:`pagerank`.
+
+    Unlike pagerank (whose iteration reads ``pr`` ONCE, so the lazy
+    unrolled lineage stays linear), a label round reads ``lab``
+    twice — through the neighbor messages AND as the join's probe
+    side for the `least` — so a fully-lazy unroll duplicates the
+    whole prior-round subtree per reference: 2^iters copies, measured
+    as 21 s for 3 rounds at sf0.1 where ~6 s is the real work. Each
+    round's result is therefore localCheckpointed by default
+    (``checkpoint_every=1``, lazily — no extra jobs), which is also
+    what keeps a convergence-driven run's lineage bounded."""
     if materialize_inputs:
         nodes = _materialize(nodes)
         edges = _materialize(edges)
     lab = nodes.select("node", F.col("node").alias("label"))
+    if checkpoint_every is None:
+        checkpoint_every = 1
     for i in range(iters):
         msgs = (edges.join(lab, edges.src == lab.node)
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("label").alias("nbr_min")))
-        lab = (nodes.join(msgs, "node", "left")
-               .join(lab.select("node",
-                                F.col("label").alias("own")), "node")
+        lab = (lab.join(msgs, "node", "left")
                .select("node",
-                       F.least(F.col("own"),
+                       F.least(F.col("label"),
                                F.coalesce(F.col("nbr_min"),
-                                          F.col("own")))
+                                          F.col("label")))
                        .alias("label")))
         if checkpoint_every and (i + 1) % checkpoint_every == 0 \
                 and i + 1 < iters:
-            lab = lab.localCheckpoint(eager=True)
+            lab = _materialize(lab)
     return lab
 
 
