@@ -2224,6 +2224,194 @@ def c4_quality_filter(spark, sf):
     return c4_page_stats(lines, ["lang", "source"])
 
 
+@q("asof_join_events", """
+WITH c AS (SELECT event_id, user_id, ts, round(value, 6) AS click_value
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, round(value, 6) AS purch_value
+      FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, c.click_value, p.purch_value,
+       epoch_us(c.ts) - epoch_us(p.ts) AS purch_age_us
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+""")
+def asof_join_events(spark, sf):
+    """Point-in-time join (kg/stages/events.asof_join): every click
+    picks up the most recent purchase by the same user at or before
+    its timestamp — the operator Spark's DataFrame API lacks as a
+    primitive. Spark runs the union-and-window form (ONE exchange on
+    user_id, no inequality join — the plan a naive ``ts >= ts`` range
+    join would turn into a BroadcastNestedLoop); DuckDB replays it
+    with its native ASOF LEFT JOIN, a genuinely different algorithm
+    arriving at the same rows. Ages in exact integer microseconds
+    (unix_micros ↔ epoch_us); (user_id, ts) is unique in the events
+    table, so the match is engine-independent."""
+    from kg.stages.events import asof_join, micros
+
+    ev = _t(spark, sf, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts",
+                      F.round("value", 6).alias("click_value")))
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .select("user_id", "ts",
+                     F.round("value", 6).alias("purch_value"),
+                     F.col("ts").alias("purch_ts")))
+    j = asof_join(clicks, purch, keys=["user_id"], ts="ts",
+                  payload=["purch_value", "purch_ts"])
+    return j.select(
+        "event_id", "user_id", "click_value", "purch_value",
+        (micros("ts") - micros("purch_ts")).alias("purch_age_us"))
+
+
+@q("sessionize_gap", """
+WITH x AS (SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 86400::BIGINT * 1000000 THEN 1 ELSE 0
+                       END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts, value,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) - 1
+                  AS INT) AS session_idx
+      FROM x)
+SELECT user_id, session_idx, count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM s GROUP BY user_id, session_idx
+""")
+def sessionize_gap(spark, sf):
+    """Inactivity-gap sessionization (kg/stages/events.
+    sessionize_by_gap): a 24 h silence starts a new session; output
+    is per-session (n_events, sum_value, duration). One exchange on
+    user_id for the lag + running-sum windows, and the per-session
+    aggregate reuses that partitioning. Durations in exact integer
+    microseconds; sum_value rounded to 6 (summation-order ulp across
+    engines is ~1e-11 at these magnitudes, far under the grain)."""
+    from kg.stages.events import micros, sessionize_by_gap
+
+    ev = _t(spark, sf, "events")
+    s = sessionize_by_gap(ev, keys=["user_id"], ts="ts",
+                          gap_s=86400)
+    return (s.groupBy("user_id", "session_idx")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"),
+                 (micros(F.max("ts"))
+                  - micros(F.min("ts"))).alias("duration_us")))
+
+
+@q("quantiles_exact", """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS q25,
+       round(quantile_cont(value, 0.50), 6) AS q50,
+       round(quantile_cont(value, 0.75), 6) AS q75,
+       round(quantile_cont(value, 0.90), 6) AS q90
+FROM events GROUP BY event_type
+""")
+def quantiles_exact(spark, sf):
+    """EXACT interpolated percentiles per group — Spark `percentile`
+    and DuckDB `quantile_cont` both implement the standard
+    continuous quantile (index p·(n−1) on the sorted values, linear
+    interpolation between neighbors), so unlike approx_distinct this
+    aggregates to a hash-equal certificate, not a tolerance flag.
+    The exact sort-based aggregate is the small-group path
+    (per-group sort); at 100 TB per-key cardinalities this switches
+    to approx_percentile (t-digest) — kept separate because that
+    estimate is engine-specific, like the HLL entry."""
+    ev = _t(spark, sf, "events")
+    return (ev.groupBy("event_type")
+            .agg(*[F.round(F.percentile("value", F.lit(p)), 6)
+                   .alias(f"q{int(p * 100)}")
+                   for p in (0.25, 0.50, 0.75, 0.90)]))
+
+
+#: one DuckDB Lloyd iteration, templated for unrolling (mirrors
+#: kg/stages/kmeans.py: assignment via list_distance + (dist, cid)
+#: tie-break, update via per-(cluster, pos) mean rounded to the
+#: 6-decimal cross-engine grain, rebuilt into ordered lists)
+_KM_IT_SQL = """{out} AS (
+  SELECT cluster AS cid, list(val ORDER BY pos) AS cv FROM (
+    SELECT asg.cluster, ex.pos, round(avg(ex.val), 6) AS val
+    FROM (SELECT vec_id, cid AS cluster FROM (
+            SELECT emb.vec_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY emb.vec_id
+                     ORDER BY list_distance(emb.v, c.cv) ASC,
+                              c.cid ASC) AS rn
+            FROM emb CROSS JOIN {cents} c) WHERE rn = 1) asg
+    JOIN ex USING (vec_id) GROUP BY asg.cluster, ex.pos)
+  GROUP BY cluster)"""
+
+
+@q("kmeans_iter3", """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos,
+              unnest(v) AS val FROM emb),
+cent0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+""" + _KM_IT_SQL.format(out="it1", cents="cent0") + ",\n"
+    + _KM_IT_SQL.format(out="it2", cents="it1") + ",\n"
+    + _KM_IT_SQL.format(out="it3", cents="it2") + """
+SELECT cid AS cluster, generate_subscripts(cv, 1) - 1 AS pos,
+       unnest(cv) + 0 AS mean_val
+FROM it3
+""")
+def kmeans_iter3(spark, sf):
+    """THREE full Lloyd iterations (kg/stages/kmeans.lloyd) from the
+    same K=8 seed kmeans_assign/update certify one step of — the
+    iterative algorithm itself under the driver hash, like
+    pagerank_iter3 is to one join-aggregate round. Per iteration the
+    data path is one map-only assignment (broadcast folded centroids,
+    struct-ordered argmin) + one K×dim-cell shuffle; the embedding
+    scan is localCheckpointed once. Centroid means are rounded to 6
+    decimals INSIDE each iteration on BOTH engines — that is the
+    cross-engine determinism grain: unrounded, avg summation-order
+    ulp (~1e-15) would compound through 3 assignment argmins. `+ 0`
+    normalizes IEEE −0.0 on output (see kmeans_update)."""
+    from kg.stages import kmeans
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    seed = (emb.where(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("cluster"),
+                    F.posexplode("v").alias("pos", "val")))
+    out = kmeans.lloyd(emb, seed, iters=3, round_to=6)
+    return out.select("cluster", "pos",
+                      (F.col("val") + F.lit(0.0)).alias("mean_val"))
+
+
+@q("weighted_mix_sample", """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+ws AS (SELECT list_aggregate(list(pow(n, 0.5) ORDER BY lang), 'sum')
+              AS wsum FROM c),
+q AS (SELECT lang,
+             least(n, CAST(ceil(200 * pow(n, 0.5) / wsum) AS BIGINT))
+             AS quota
+      FROM c CROSS JOIN ws),
+r AS (SELECT d.doc_id, d.lang, q.quota,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                        d.doc_id) AS rk
+      FROM documents d JOIN q USING (lang))
+SELECT doc_id, lang FROM r WHERE rk <= quota
+""")
+def weighted_mix_sample(spark, sf):
+    """Temperature-weighted corpus mixing (kg/stages/corpus.
+    temperature_mix_sample, α = 0.5, T = 200 over the lang strata):
+    the multilingual-LM sampling rule — small languages up-sampled
+    relative to raw share, quota_g = min(n_g, ceil(T·√n_g / Σ√n)).
+    Selection inside a stratum is the salted-md5 rank rule, so the
+    sampled doc_id set is partition- and engine-independent; the
+    weight normalizer is summed over a SORTED list on both engines
+    (left fold in lang order) so the ceil cannot flip on summation
+    order. Output is the sampled id set itself — integer-exact."""
+    from kg.stages.corpus import temperature_mix_sample
+
+    d = _t(spark, sf, "documents")
+    return temperature_mix_sample(
+        d, ["lang"], id_col="doc_id", target_total=200,
+        alpha=0.5).select("doc_id", "lang")
+
+
 # Defined LAST among oracle entries deliberately: driver_order() packs
 # oracle entries into the ~50-slot window in definition order (minus
 # the WINDOW_TAIL rotation below), and the tolerance certificate below
@@ -2258,9 +2446,9 @@ def approx_distinct(spark, sf):
 
 
 #: Long-stable oracle entries rotated to the END of the oracle group
-#: (r5): the registry now holds 63 oracle-paired entries against the
-#: driver's 50-slot window, so thirteen must sit past it. These
-#: thirteen are §2-F relational entries that have hash-matched in
+#: (r5): the registry now holds 68 oracle-paired entries against the
+#: driver's 50-slot window, so eighteen must sit past it. These
+#: eighteen are §2-F relational entries that have hash-matched in
 #: EVERY driver round since round 1 and carry committed self-hash
 #: pins at sf0.01 (tests/test_pins.py), so parking them costs no
 #: evidence — while the never-driver-certified round-5 entries
@@ -2268,14 +2456,18 @@ def approx_distinct(spark, sf):
 #: pii_scrub, tfidf_top_terms, pagerank_iter3, kmeans_assign,
 #: kmeans_update, min_label_prop_iter3, triangle_counts_parts,
 #: boilerplate_turn_filter, stratified_sample_lang,
-#: c4_quality_filter) take their slots. Grow this tuple (stable §2-F
-#: entries first) whenever a new oracle entry would otherwise push a
-#: never-certified one past the window.
+#: c4_quality_filter, asof_join_events, sessionize_gap,
+#: quantiles_exact, kmeans_iter3, weighted_mix_sample) take their
+#: slots. Grow this tuple (stable §2-F entries first) whenever a new
+#: oracle entry would otherwise push a never-certified one past the
+#: window.
 WINDOW_TAIL = ("map_funcs", "set_ops", "json_funcs",
                "string_funcs", "date_funcs", "array_funcs",
                "posexplode_tokens", "explode_words",
                "grouping_sets", "rollup_agg", "cube_agg",
-               "window_analytic", "window_first_last")
+               "window_analytic", "window_first_last",
+               "join_left_outer", "self_join_pairs", "agg_distinct",
+               "distinct_dedup", "topk")
 
 #: the driver evaluates this many leading entries of queries()
 DRIVER_WINDOW = 50

@@ -209,6 +209,49 @@ def stratified_sample(df: DataFrame, strata_cols: list[str],
             .drop("_rk", "_n"))
 
 
+def temperature_mix_sample(df: DataFrame, strata_cols: list[str],
+                           id_col: str, target_total: int,
+                           alpha: float = 0.5,
+                           salt: str = "mix") -> DataFrame:
+    """Temperature-weighted corpus mixing (the multilingual-LM
+    sampling rule, e.g. Conneau & Lample 2019 §3.1): stratum ``g``
+    with ``n_g`` rows gets quota ``min(n_g, ceil(T · n_g^α / Σ
+    n^α))`` — α < 1 up-samples small strata relative to their raw
+    share, α = 1 is proportional. Rows within a stratum are chosen by
+    the same salted-md5 rank rule as :func:`stratified_sample`
+    (engine- and partitioning-independent).
+
+    Shape: a tiny groupBy for stratum counts; the weight
+    normalizer Σ n^α is summed over a SORTED collect_list (left fold
+    in stratum order — both engines add in the same order, so the
+    double is bit-identical and the ceil can't flip on summation
+    ulp); quotas broadcast-join back (O(strata) rows — languages /
+    sources, not documents); one window on the stratum key ranks the
+    data side. Same single-exchange cost as stratified_sample, same
+    giant-stratum escape hatch documented there."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*strata_cols).agg(F.count("*").alias("_n"))
+    wsum = counts.agg(F.aggregate(
+        F.sort_array(F.collect_list(F.struct(
+            *strata_cols, F.pow("_n", F.lit(alpha)).alias("_w")))),
+        F.lit(0.0), lambda acc, s: acc + s["_w"]).alias("_wsum"))
+    quotas = (counts.crossJoin(F.broadcast(wsum))
+              .select(*strata_cols,
+                      F.least(
+                          F.col("_n"),
+                          F.ceil(F.lit(float(target_total))
+                                 * F.pow("_n", F.lit(alpha))
+                                 / F.col("_wsum"))).alias("_quota")))
+    key = F.md5(F.concat(F.lit(salt + ":"),
+                         F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(key, F.col(id_col))
+    return (df.join(F.broadcast(quotas), strata_cols)
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= F.col("_quota"))
+            .drop("_rk", "_quota"))
+
+
 def _qc_cols(df: DataFrame) -> DataFrame:
     words = F.split("text", " ")
     stop = F.array(*[F.lit(s) for s in STOPWORDS])

@@ -87,7 +87,10 @@ def test_driver_window_in_out_split_is_the_declared_one():
     # the round-5 rotation goal: first-ever driver certification
     for n in ("doc_repetition_filter", "approx_distinct",
               "gopher_quality_filter", "pii_scrub", "tfidf_top_terms",
-              "pagerank_iter3", "kmeans_assign", "kmeans_update"):
+              "pagerank_iter3", "kmeans_assign", "kmeans_update",
+              "asof_join_events", "sessionize_gap", "quantiles_exact",
+              "kmeans_iter3", "weighted_mix_sample",
+              "min_label_prop_iter3", "triangle_counts_parts"):
         assert n in in_window, n
     # tail members really are oracle-paired (a rows-only name in the
     # tuple would silently shrink the oracle set instead of rotating)
