@@ -248,7 +248,9 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
                  "two_phase_salted_agg", "ngram_jaccard_pairs",
                  "minhash_lsh_dedup", "text_quality_score",
                  "token_count_bpe_learned", "boilerplate_turn_filter",
-                 "pagerank_iter3", "min_label_prop_iter3"):
+                 "pagerank_iter3", "min_label_prop_iter3",
+                 "asof_join_events", "sessionize_gap",
+                 "decontaminate_ngrams", "kmeans_iter3"):
         fn, _ = contract.Q[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir)
               .write.mode("overwrite").format("noop").save())

@@ -2412,6 +2412,59 @@ def weighted_mix_sample(spark, sf):
         alpha=0.5).select("doc_id", "lang")
 
 
+@q("decontaminate_ngrams", """
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws,
+                  md5('bench:' || CAST(doc_id AS VARCHAR)) < '0d'
+                      AS is_bench
+           FROM documents),
+bg AS (SELECT DISTINCT g FROM (
+         SELECT unnest(list_transform(
+                  generate_series(1, len(ws) - 4),
+                  i -> array_to_string(ws[i:i+4], ' '))) AS g
+         FROM w WHERE is_bench AND len(ws) >= 5)),
+dg AS (SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(ws) - 4),
+                i -> array_to_string(ws[i:i+4], ' '))) AS g
+       FROM w WHERE NOT is_bench AND len(ws) >= 5),
+h AS (SELECT dg.doc_id, count(*) AS n_grams, count(bg.g) AS n_dirty
+      FROM dg LEFT JOIN bg ON dg.g = bg.g GROUP BY dg.doc_id),
+x AS (SELECT w.doc_id, COALESCE(h.n_grams, 0) AS n_grams,
+             COALESCE(h.n_dirty, 0) AS n_dirty
+      FROM w LEFT JOIN h USING (doc_id) WHERE NOT w.is_bench)
+SELECT doc_id, n_grams, n_dirty,
+       round(CASE WHEN n_grams = 0 THEN 0.0
+                  ELSE n_dirty / n_grams END, 4) AS dirty_frac,
+       n_dirty = 0 AS keep
+FROM x
+""")
+def decontaminate_ngrams(spark, sf):
+    """Benchmark decontamination (kg/stages/decontam; Brown20
+    appendix C run the 13-gram version of this over the GPT-3
+    corpus, Dodge21 measured the leakage it exists to stop): a
+    deterministic md5-rule slice of documents (~5%, the same salted
+    rule family as corpus_sample_hash — self-contained, no external
+    eval data) stands in for the eval suite; every remaining doc is
+    scored by word-5-gram overlap with it, keep = zero collisions
+    (the strict GPT-3 policy). The planted near-duplicate docs make
+    this non-vacuous — at sf0.01, 4/474 candidates are flagged (up
+    to 75 shared grams): near-copies of eval members, exactly the
+    real-world catch. Spark explodes grams map-side into a
+    BroadcastHashJoin against the distinct benchmark-gram set (an
+    eval suite is MBs at any corpus scale) + one doc_id agg —
+    never a gram-keyed shuffle of the corpus; DuckDB replays with a
+    plain LEFT JOIN. Counts integer-exact; dirty_frac a ratio of
+    integers, same rounding both engines."""
+    from kg.stages.decontam import benchmark_ngrams, decontaminate
+
+    d = (_t(spark, sf, "documents")
+         .withColumn("is_bench",
+                     F.md5(F.concat(F.lit("bench:"),
+                                    F.col("doc_id").cast("string")))
+                     < "0d"))
+    bg = benchmark_ngrams(d.where("is_bench"), n=5)
+    return decontaminate(d.where(~F.col("is_bench")), bg, n=5)
+
+
 # Defined LAST among oracle entries deliberately: driver_order() packs
 # oracle entries into the ~50-slot window in definition order (minus
 # the WINDOW_TAIL rotation below), and the tolerance certificate below
@@ -2446,9 +2499,9 @@ def approx_distinct(spark, sf):
 
 
 #: Long-stable oracle entries rotated to the END of the oracle group
-#: (r5): the registry now holds 68 oracle-paired entries against the
-#: driver's 50-slot window, so eighteen must sit past it. These
-#: eighteen are §2-F relational entries that have hash-matched in
+#: (r5): the registry now holds 69 oracle-paired entries against the
+#: driver's 50-slot window, so nineteen must sit past it. These
+#: nineteen are §2-F relational entries that have hash-matched in
 #: EVERY driver round since round 1 and carry committed self-hash
 #: pins at sf0.01 (tests/test_pins.py), so parking them costs no
 #: evidence — while the never-driver-certified round-5 entries
@@ -2457,8 +2510,8 @@ def approx_distinct(spark, sf):
 #: kmeans_update, min_label_prop_iter3, triangle_counts_parts,
 #: boilerplate_turn_filter, stratified_sample_lang,
 #: c4_quality_filter, asof_join_events, sessionize_gap,
-#: quantiles_exact, kmeans_iter3, weighted_mix_sample) take their
-#: slots. Grow this tuple (stable §2-F entries first) whenever a new
+#: quantiles_exact, kmeans_iter3, weighted_mix_sample,
+#: decontaminate_ngrams) take their slots. Grow this tuple (stable §2-F entries first) whenever a new
 #: oracle entry would otherwise push a never-certified one past the
 #: window.
 WINDOW_TAIL = ("map_funcs", "set_ops", "json_funcs",
@@ -2467,7 +2520,7 @@ WINDOW_TAIL = ("map_funcs", "set_ops", "json_funcs",
                "grouping_sets", "rollup_agg", "cube_agg",
                "window_analytic", "window_first_last",
                "join_left_outer", "self_join_pairs", "agg_distinct",
-               "distinct_dedup", "topk")
+               "distinct_dedup", "topk", "window_rank")
 
 #: the driver evaluates this many leading entries of queries()
 DRIVER_WINDOW = 50
