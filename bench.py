@@ -250,7 +250,8 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
                  "token_count_bpe_learned", "boilerplate_turn_filter",
                  "pagerank_iter3", "min_label_prop_iter3",
                  "asof_join_events", "sessionize_gap",
-                 "decontaminate_ngrams", "kmeans_iter3"):
+                 "decontaminate_ngrams", "kmeans_iter3",
+                 "bm25_topk"):
         fn, _ = contract.Q[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir)
               .write.mode("overwrite").format("noop").save())

@@ -2465,6 +2465,62 @@ def decontaminate_ngrams(spark, sf):
     return decontaminate(d.where(~F.col("is_bench")), bg, n=5)
 
 
+#: BM25 constants live on the operator (kg/stages/retrieval.py); the
+#: oracle SQL interpolates repr() of the SAME doubles (the pagerank
+#: pattern) so neither engine re-derives k1+1 from a decimal literal.
+from kg.stages.retrieval import B as _BM_B  # noqa: E402
+from kg.stages.retrieval import K1 as _BM_K1  # noqa: E402
+
+_BM25_QUERY = ("hash", "join", "merge", "window")
+
+
+@q("bm25_topk", """
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+           FROM documents),
+dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(ws) AS term FROM d)
+       WHERE term IN ({terms}) GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+c AS (SELECT tf.doc_id, tf.term,
+             round(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * {k1p1}
+                   / (tf.tf + {k1} * ((1.0 - {b})
+                                      + {b} * (dl.dl / st.avgdl))),
+                   6) AS c
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN st),
+s AS (SELECT doc_id,
+             round(list_aggregate(list(c ORDER BY term), 'sum'), 6)
+                 AS score
+      FROM c GROUP BY doc_id),
+r AS (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                 AS rank
+      FROM s)
+SELECT doc_id, score, rank FROM r WHERE rank <= 10
+""".format(terms=", ".join(f"'{t}'" for t in _BM25_QUERY),
+           k1=repr(_BM_K1), k1p1=repr(_BM_K1 + 1.0), b=repr(_BM_B)))
+def bm25_topk(spark, sf):
+    """Lexical retrieval (kg/stages/retrieval.bm25_topk; Robertson &
+    Zaragoza 2009): global top-10 documents for a 4-term query under
+    Okapi BM25 — the query-side complement to tfidf_top_terms. The
+    token stream is filtered to the broadcast query terms MAP-SIDE
+    before the tf aggregation shuffles anything, corpus stats (N,
+    avgdl — exact: integer length sum) ride a broadcast 1-row cross
+    join, and the global top-k is orderBy+limit (TakeOrdered:
+    per-partition partial top-k + a k-row driver merge, NOT a
+    single-partition sort) with rank attached post-limit over 10
+    rows. Determinism grain: per-(doc, term) contributions rounded
+    to 6 (the tfidf-proven ln grain), per-doc sum over a term-ASC
+    sorted fold on BOTH engines, rounded again; ties rank doc_id
+    ASC."""
+    from kg.stages.retrieval import bm25_topk as op
+
+    return op(_t(spark, sf, "documents"), list(_BM25_QUERY), k=10)
+
+
 # Defined LAST among oracle entries deliberately: driver_order() packs
 # oracle entries into the ~50-slot window in definition order (minus
 # the WINDOW_TAIL rotation below), and the tolerance certificate below
@@ -2499,9 +2555,9 @@ def approx_distinct(spark, sf):
 
 
 #: Long-stable oracle entries rotated to the END of the oracle group
-#: (r5): the registry now holds 69 oracle-paired entries against the
-#: driver's 50-slot window, so nineteen must sit past it. These
-#: nineteen are §2-F relational entries that have hash-matched in
+#: (r5): the registry now holds 70 oracle-paired entries against the
+#: driver's 50-slot window, so twenty must sit past it. These
+#: twenty are §2-F relational entries that have hash-matched in
 #: EVERY driver round since round 1 and carry committed self-hash
 #: pins at sf0.01 (tests/test_pins.py), so parking them costs no
 #: evidence — while the never-driver-certified round-5 entries
@@ -2511,7 +2567,7 @@ def approx_distinct(spark, sf):
 #: boilerplate_turn_filter, stratified_sample_lang,
 #: c4_quality_filter, asof_join_events, sessionize_gap,
 #: quantiles_exact, kmeans_iter3, weighted_mix_sample,
-#: decontaminate_ngrams) take their slots. Grow this tuple (stable §2-F entries first) whenever a new
+#: decontaminate_ngrams, bm25_topk) take their slots. Grow this tuple (stable §2-F entries first) whenever a new
 #: oracle entry would otherwise push a never-certified one past the
 #: window.
 WINDOW_TAIL = ("map_funcs", "set_ops", "json_funcs",
@@ -2520,7 +2576,7 @@ WINDOW_TAIL = ("map_funcs", "set_ops", "json_funcs",
                "grouping_sets", "rollup_agg", "cube_agg",
                "window_analytic", "window_first_last",
                "join_left_outer", "self_join_pairs", "agg_distinct",
-               "distinct_dedup", "topk", "window_rank")
+               "distinct_dedup", "topk", "window_rank", "join_semi")
 
 #: the driver evaluates this many leading entries of queries()
 DRIVER_WINDOW = 50

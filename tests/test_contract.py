@@ -90,7 +90,7 @@ def test_driver_window_in_out_split_is_the_declared_one():
               "pagerank_iter3", "kmeans_assign", "kmeans_update",
               "asof_join_events", "sessionize_gap", "quantiles_exact",
               "kmeans_iter3", "weighted_mix_sample",
-              "decontaminate_ngrams",
+              "decontaminate_ngrams", "bm25_topk",
               "min_label_prop_iter3", "triangle_counts_parts"):
         assert n in in_window, n
     # tail members really are oracle-paired (a rows-only name in the
