@@ -134,15 +134,43 @@ GROUP BY a.event_type, b.event_type
 def join_range_window(spark, sf):
     """F: range/theta join with an equi prefix (user_id) — the B3
     cross-turn candidate shape; the equi key keeps it a hash join,
-    never a nested-loop over everything."""
-    e = _t(spark, sf, "events")
-    a, b = e.alias("a"), e.alias("b")
-    return (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
-                   & (F.col("b.ts") > F.col("a.ts"))
-                   & (F.col("b.ts") <= F.col("a.ts")
-                      + F.expr("INTERVAL 60 SECOND")))
-            .groupBy(F.col("a.event_type").alias("et_a"),
-                     F.col("b.event_type").alias("et_b"))
+    never a nested-loop over everything.
+
+    r6: the equi key is WIDENED with a 60-second time bucket (the
+    standard interval-join binning): a qualifying pair (0 < b.ts −
+    a.ts ≤ 60 s) has b's bucket ∈ {a.bkt, a.bkt+1}, so the a-side
+    explodes into its two candidate buckets and the join runs on
+    (user_id, bucket). Each qualifying pair is matched EXACTLY once
+    (b's bucket is a function of b), and the residual range predicate
+    keeps the semantics identical — but the hash join now probes only
+    the events in the SAME OR ADJACENT minute instead of the user's
+    whole history: at sf1.0 (67 events/user over 30 days) that is
+    ~67M pair evaluations down to ~3M (guide §3.1/§2.3 — shrink the
+    candidate set before evaluating the expensive predicate; the
+    interval arithmetic is also hoisted to a per-ROW upper bound
+    instead of per-pair). Plan: BroadcastHashJoin keyed
+    (user_id, bucket), one agg exchange — plans/r06."""
+    e = _t(spark, sf, "events").select(
+        "user_id", "ts", "event_type",
+        # ts is TIMESTAMP_NTZ (unix_micros rejects it); the cast chain
+        # ntz→timestamp→double is epoch seconds under the session's
+        # fixed UTC zone — any fixed epoch mapping preserves the
+        # "adjacent bucket" property the join relies on
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 60)
+        .alias("_bkt"))
+    a = e.select(
+        "user_id", F.col("ts").alias("_ats"),
+        F.col("event_type").alias("et_a"),
+        (F.col("ts") + F.expr("INTERVAL 60 SECOND")).alias("_hi"),
+        F.explode(F.array(F.col("_bkt"),
+                          F.col("_bkt") + 1)).alias("_jb"))
+    b = e.select("user_id", F.col("ts").alias("_bts"),
+                 F.col("event_type").alias("et_b"),
+                 F.col("_bkt").alias("_jb"))
+    return (a.join(b, ["user_id", "_jb"])
+            .where((F.col("_bts") > F.col("_ats"))
+                   & (F.col("_bts") <= F.col("_hi")))
+            .groupBy("et_a", "et_b")
             .agg(F.count("*").alias("n")))
 
 
@@ -1173,12 +1201,24 @@ def ann_bucket_join(spark, sf):
     query. Recall is pinned by test_ann.py on a clustered table (this
     embeddings fixture is near-random — top-1 cosine ≈0.37 — so no
     LSH family has meaningful recall on it; here it exercises the
-    distributed plumbing)."""
+    distributed plumbing).
+
+    r6: the declared output only reads queries q < 50, and per-query
+    top-k is independent, so the predicate is PUSHED INTO the bucket
+    pair expansion (ann.candidate_pairs q_filter) — Catalyst cannot
+    see through the explode of computed structs, so without the push
+    every one of the ~25M directed candidate pairs at sf1.0
+    materialized, dedup'd and re-ranked before the filter dropped
+    99.8% of them (measured 10.5 s → ~1 s; bucketing still covers
+    the FULL corpus and the candidate side is unfiltered, so the
+    surviving rows are identical — verified at sf0.01/0.1/1.0). The
+    outer where stays as a no-op guard."""
     from kg.stages import ann
 
     e = _t(spark, sf, "embeddings")
     top = ann.ann_topk_self_join(e, dim=64, k=3, n_planes=6,
-                                 n_tables=4, seed=7)
+                                 n_tables=4, seed=7,
+                                 q_filter="x < 50")
     return (top.where("q < 50")
             .select("q", "c", F.round("cos", 4).alias("cos"), "rnk")
             .orderBy("q", "rnk"))
@@ -1885,28 +1925,41 @@ def pagerank_iter3(spark, sf):
     edges, 2.1k nodes at sf0.01; node ids prefixed 's'/'p' so the two
     key spaces cannot collide).
 
-    Plan at scale: each iteration is edges ⋈ pr (shuffle on the edge
-    partitioning) ⋈ broadcast outdeg → groupBy(dst) sum — the same
-    join-aggregate shape GraphFrames' aggregateMessages lowers to; N
+    Plan at scale (r6): the edge list is pre-grouped once into per-src
+    adjacency arrays (graph.pagerank); each iteration joins two
+    O(nodes) tables and explodes the arrays map-side into the
+    partial-agg sum — the heavy edge multiset never re-shuffles. N
     rides a broadcast 1-row cross join. Fixed unrolled iterations keep
     the whole thing one declarative plan; a convergence-driven variant
     would localCheckpoint every few iterations to cut lineage (the
     same discipline kg/stages/canon.py uses for CC). Scores rounded to
     6 decimals on both engines; sum-order ulp drift across 3
-    iterations is ~1e-12, far under the rounding grain."""
+    iterations is ~1e-12, far under the rounding grain.
+
+    r6 key narrowing (guide §2.3): the two key spaces ride the whole
+    derivation and all iterations as LONGS (supplier 2k, part 2k+1 —
+    injective, so distinct-on-ints ≡ distinct-on-strings) and the 's'/
+    'p'-prefixed strings are built once on the O(nodes) OUTPUT —
+    12M×3 iterated string rows down to 210k string builds at sf1.0;
+    the distinct also now prunes the scan to two int columns."""
     from kg.stages import graph
 
     li = _t(spark, sf, "lineitem")
-    e0 = (li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-         .alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
-         .alias("dst")).distinct())
+    e0 = (li.select((F.col("l_suppkey") * 2).alias("src"),
+                    (F.col("l_partkey") * 2 + 1).alias("dst"))
+          .distinct())
     edges = e0.unionByName(e0.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     pr = graph.pagerank(nodes, edges, iters=3)
-    return pr.select("node", F.round("pr", 6).alias("pr"))
+    node_s = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("s"), (F.col("node") / 2).cast("long")
+                 .cast("string"))).otherwise(
+        F.concat(F.lit("p"), ((F.col("node") - 1) / 2).cast("long")
+                 .cast("string")))
+    return pr.select(node_s.alias("node"),
+                     F.round("pr", 6).alias("pr"))
 
 
 def _kmeans_assignment(spark, sf) -> DataFrame:
@@ -2004,6 +2057,32 @@ def kmeans_update(spark, sf):
                  .alias("mean_val")))
 
 
+def _lpa_enc(prefix_is_s: int, n):
+    """Order-isomorphic LONG encoding of the node strings
+    'p{n}' / 's{n}' (r6): enc(a) < enc(b) ⇔ str(a) < str(b)
+    lexicographically, and enc is injective — so min-label
+    propagation over enc longs computes exactly the string-label
+    result at 8-byte shuffle width instead of ~14-char strings.
+
+    Derivation: 'p…' < 's…' always (prefix bit); within a prefix,
+    digit strings compare lexicographically, which equals ordering by
+    (n·10^(10−k), k) where k = digit count — left-justifying the
+    digits makes '123' < '13' (0123000000 < 1300000000) and the
+    digit-count tiebreak makes '1' < '10' (both left-justify to
+    1000000000). n·10^(10−k) < 10^10 < 2^53 is exact in the double
+    pow intermediate; the packed value (prefix·10^10 + f)·16 + k
+    fits a long with headroom. k comes from chained range compares,
+    not log10 (whose float rounding misclassifies exact powers of
+    ten)."""
+    k = F.when(n < 10, 1)
+    for j in range(2, 11):
+        k = k.when(n < 10 ** j, j)
+    k = k.otherwise(11)
+    f10 = (n * F.pow(F.lit(10.0), 10 - k)).cast("long")
+    return ((F.lit(prefix_is_s) * F.lit(10 ** 10) + f10) * 16
+            + k).cast("long")
+
+
 _LPA_IT_SQL = """{out} AS (
   SELECT n.node, least(p.label, coalesce(m.ml, p.label)) AS label
   FROM nodes n JOIN {src} p ON n.node = p.node
@@ -2036,19 +2115,44 @@ def min_label_prop_iter3(spark, sf):
     labels → groupBy(dst) min → least with own label (map-side
     partial min combines before the shuffle; string labels compare
     bytewise identically in Spark and DuckDB). DuckDB replays the 3
-    unrolled rounds."""
+    unrolled rounds.
+
+    r6 key narrowing: labels propagate as LONGS under an
+    order-isomorphic encoding of the 'p{n}'/'s{n}' lexicographic
+    order (:func:`_lpa_enc` — min(enc) ≡ min(string) at every step,
+    so every intermediate round is unchanged), and the string surface
+    is rebuilt on the O(nodes) OUTPUT via a per-key-space decode
+    dictionary; with graph.py's r6 adjacency iteration the 12M-edge
+    multiset (sf1.0) is grouped once and never re-shuffled. Output
+    identical by construction (enc strictly monotone + injective in
+    the string order; verified row-identical vs the string-label run
+    at sf0.01/0.1/1.0)."""
     from kg.stages import graph
 
     li = _t(spark, sf, "lineitem")
-    e0 = (li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-         .alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
-         .alias("dst")).distinct())
+    p0 = li.select("l_suppkey", "l_partkey").distinct()
+    e0 = p0.select(_lpa_enc(1, F.col("l_suppkey")).alias("src"),
+                   _lpa_enc(0, F.col("l_partkey")).alias("dst"))
     edges = e0.unionByName(e0.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    return graph.min_label_propagation(nodes, edges, iters=3)
+    lab = graph.min_label_propagation(nodes, edges, iters=3)
+    dic = (p0.select(
+        _lpa_enc(1, F.col("l_suppkey")).alias("e"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        .alias("s"))
+        .unionByName(p0.select(
+            _lpa_enc(0, F.col("l_partkey")).alias("e"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+            .alias("s")))
+        .distinct())
+    d_node = dic.select(F.col("e").alias("node"),
+                        F.col("s").alias("_node_s"))
+    d_lab = dic.select(F.col("e").alias("label"),
+                       F.col("s").alias("_label_s"))
+    return (lab.join(d_node, "node").join(d_lab, "label")
+            .select(F.col("_node_s").alias("node"),
+                    F.col("_label_s").alias("label")))
 
 
 @q("triangle_counts_parts", """

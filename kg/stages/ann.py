@@ -125,15 +125,26 @@ def hyperplane_buckets(vecs: DataFrame, id_col: str = "vec_id",
 
 
 def candidate_pairs(buckets: DataFrame, id_col: str = "vec_id",
-                    bucket_cap: int = BUCKET_CAP, obs=None) -> DataFrame:
+                    bucket_cap: int = BUCKET_CAP, obs=None,
+                    q_filter: str | None = None) -> DataFrame:
     """Directed candidate pairs (q, c): ids sharing any (table, bucket),
     deduplicated across tables as bare 16-byte rows — the canon.py
     candidate shape, one groupBy shuffle + in-array expansion.
     Over-cap buckets are dropped and, when ``obs`` (a
     ``pyspark.sql.Observation``) is supplied, counted as
-    ``dropped_buckets`` / ``dropped_nodes`` after the first action."""
+    ``dropped_buckets`` / ``dropped_nodes`` after the first action.
+
+    ``q_filter`` (r6): optional SQL boolean over the element variable
+    ``x`` (e.g. ``"x < 50"``) restricting which ids act as QUERIES.
+    Per-query top-k is independent of every other query, so when a
+    caller only consumes a query subset, pushing its predicate into
+    the pair expansion is output-identical for that subset while the
+    candidate/explode/dedup volume drops by the subset's selectivity
+    (guide §2.3 — don't materialize pairs you throw away). The
+    CANDIDATE side stays the full corpus — only the q slots narrow."""
+    qs = f"filter(ns, x -> {q_filter})" if q_filter else "ns"
     pair_expr = (
-        "flatten(transform(ns, x -> "
+        f"flatten(transform({qs}, x -> "
         "transform(filter(ns, y -> y != x), y -> "
         "struct(x AS q, y AS c))))")
     blocks = (buckets.groupBy("table", "bucket")
@@ -183,14 +194,19 @@ def ann_topk_self_join(vecs: DataFrame, id_col: str = "vec_id",
                        emb_col: str = "embedding", *,
                        dim: int, k: int = 10, n_planes: int = 8,
                        n_tables: int = 4, seed: int = 7,
-                       bucket_cap: int = BUCKET_CAP) -> DataFrame:
+                       bucket_cap: int = BUCKET_CAP,
+                       q_filter: str | None = None) -> DataFrame:
     """Every vector's approximate top-k cosine neighbors via
     hyperplane-LSH buckets: (q, c, cos, rnk) with rnk ∈ [1, k].
-    Exact re-rank happens only INSIDE the candidate set."""
+    Exact re-rank happens only INSIDE the candidate set.
+    ``q_filter`` restricts the query side only — see
+    :func:`candidate_pairs`; rows for the surviving queries are
+    identical to the unfiltered run's."""
     buckets = hyperplane_buckets(vecs, id_col, emb_col, dim=dim,
                                  n_planes=n_planes, n_tables=n_tables,
                                  seed=seed)
-    pairs = candidate_pairs(buckets, id_col, bucket_cap=bucket_cap)
+    pairs = candidate_pairs(buckets, id_col, bucket_cap=bucket_cap,
+                            q_filter=q_filter)
     return rerank_topk(pairs, vecs, id_col, emb_col, k=k)
 
 

@@ -48,25 +48,40 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 3,
     variant; feed a symmetrized edge list to avoid dangling mass
     loss). Returns (node, pr) unrounded.
 
-    ``materialize_inputs`` (default on) localCheckpoints nodes,
-    edges, and the out-degree table once so each iteration reads the
-    materialized graph instead of recomputing its derivation — see
+    r6 iteration shape (guide §8 — make every repeated shuffle move a
+    lightweight proxy, move the heavy multiset once): the edge list is
+    pre-grouped ONCE into per-src adjacency arrays with the out-degree
+    folded in (one groupBy, materialized), so each iteration is a
+    JOIN OF TWO O(nodes) TABLES (adjacency ⋈ pr — the small state
+    side auto-broadcasts / AQE picks the strategy) followed by a
+    map-side explode of the destination arrays into the partial-agg
+    sum. The former shape re-shuffled the FULL O(edges) list per
+    iteration through a three-way SortMergeJoin (12M rows × 3 iters
+    at sf1.0; measured 9.4 s → 4.2 s for the contract entry). The
+    per-message work (pr/outdeg, partial sum) is unchanged, so pr
+    values are identical up to summation order — which was already
+    partition-order-dependent — and callers' rounding grain absorbs
+    that exactly as before.
+
+    ``materialize_inputs`` (default on) localCheckpoints nodes and
+    the adjacency table once so each iteration reads the materialized
+    graph instead of recomputing its derivation — see
     :func:`_materialize`. Disable only when the inputs are already
     cached/checkpointed by the caller."""
     if materialize_inputs:
         nodes = _materialize(nodes)
-        edges = _materialize(edges)
-    ncnt = nodes.select(F.count("*").alias("n"))
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    adj = edges.groupBy("src").agg(
+        F.collect_list("dst").alias("_dsts"),
+        F.count("*").alias("_outdeg"))
     if materialize_inputs:
-        outdeg = _materialize(outdeg)
+        adj = _materialize(adj)
+    ncnt = nodes.select(F.count("*").alias("n"))
     pr = (nodes.crossJoin(F.broadcast(ncnt))
           .select("node", (F.lit(1.0) / F.col("n")).alias("pr")))
     for i in range(iters):
-        contrib = (edges.join(pr, edges.src == pr.node)
-                   .join(outdeg, "src")
-                   .select(F.col("dst").alias("node"),
-                           (F.col("pr") / F.col("outdeg")).alias("c")))
+        contrib = (adj.join(pr, adj.src == pr.node)
+                   .select(F.explode("_dsts").alias("node"),
+                           (F.col("pr") / F.col("_outdeg")).alias("c")))
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         pr = (nodes.join(summed, "node", "left")
               .crossJoin(F.broadcast(ncnt))
@@ -102,6 +117,12 @@ def min_label_propagation(nodes: DataFrame, edges: DataFrame,
     engine-independent. Returns (node, label).
     ``materialize_inputs``: see :func:`pagerank`.
 
+    r6: the same adjacency-list iteration shape as :func:`pagerank`
+    (see its docstring) — edges pre-grouped once per src, each round
+    joins two O(nodes) tables and explodes the destination arrays
+    map-side into the partial min-aggregate, instead of re-shuffling
+    the O(edges) list every round.
+
     Unlike pagerank (whose iteration reads ``pr`` ONCE, so the lazy
     unrolled lineage stays linear), a label round reads ``lab``
     twice — through the neighbor messages AND as the join's probe
@@ -113,13 +134,16 @@ def min_label_propagation(nodes: DataFrame, edges: DataFrame,
     what keeps a convergence-driven run's lineage bounded."""
     if materialize_inputs:
         nodes = _materialize(nodes)
-        edges = _materialize(edges)
+    adj = edges.groupBy("src").agg(F.collect_list("dst").alias("_dsts"))
+    if materialize_inputs:
+        adj = _materialize(adj)
     lab = nodes.select("node", F.col("node").alias("label"))
     if checkpoint_every is None:
         checkpoint_every = 1
     for i in range(iters):
-        msgs = (edges.join(lab, edges.src == lab.node)
-                .groupBy(F.col("dst").alias("node"))
+        msgs = (adj.join(lab, adj.src == lab.node)
+                .select(F.explode("_dsts").alias("node"), "label")
+                .groupBy("node")
                 .agg(F.min("label").alias("nbr_min")))
         lab = (lab.join(msgs, "node", "left")
                .select("node",

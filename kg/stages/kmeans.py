@@ -48,19 +48,56 @@ def assign(emb: DataFrame, cent_row: DataFrame) -> DataFrame:
     """Map-only Lloyd assignment: nearest centroid per vector.
     ``emb``: (vec_id, v: array<double>); ``cent_row``: the 1-row
     frame from :func:`fold_centroids`. Returns (vec_id, v, cluster,
-    dist) — dist unrounded Euclidean."""
-    def dist_to(c):
-        return F.sqrt(F.aggregate(
-            F.zip_with("v", c["cv"], lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x))
+    dist) — dist unrounded Euclidean.
 
-    best = F.array_min(F.transform(
-        "cents", lambda c: F.struct(dist_to(c).alias("dist"),
-                                    c["cid"].alias("cid"))))
+    r6 (guide §4.2): the distance argmin runs as one vectorized numpy
+    pass per Arrow batch instead of interpreted Catalyst higher-order
+    functions (zip_with + aggregate are evaluated per ELEMENT with no
+    codegen: K·dim ≈ 512 interpreted ops and a K-struct alloc per
+    vector dominated kmeans_iter3 — measured ~170 µs/vector at
+    sf1.0). BIT-IDENTICAL to the expression form, not merely close:
+    the accumulator adds (v[j]−c[j])² in the same index order as the
+    zip_with/aggregate left fold, np.sqrt is the same IEEE
+    correctly-rounded op, and np.argmin's first-minimum tie-break
+    equals the (dist, cid) struct ordering because the centroid
+    matrix rows arrive cid-sorted from :func:`fold_centroids`. The
+    centroids still ride the broadcast 1-row cross join — the plan
+    stays map-only, no collect, and the iteration stays one lazy
+    declarative chain."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it):
+        cids = cmat = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if cmat is None:
+                cents = pdf["cents"].iloc[0]
+                cids = np.array([c["cid"] for c in cents],
+                                dtype=np.int64)
+                cmat = np.stack([np.asarray(c["cv"], dtype=np.float64)
+                                 for c in cents])
+            v = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            n = len(v)
+            d = np.empty((n, len(cmat)))
+            for k in range(len(cmat)):
+                acc = np.zeros(n)
+                for j in range(cmat.shape[1]):
+                    t = v[:, j] - cmat[k, j]
+                    acc += t * t
+                d[:, k] = np.sqrt(acc)
+            best = np.argmin(d, axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "v": pdf["v"],
+                                "cluster": cids[best],
+                                "dist": d[np.arange(n), best]})
+
     return (emb.crossJoin(F.broadcast(cent_row))
-            .select("vec_id", "v", best.alias("b"))
-            .select("vec_id", "v", F.col("b.cid").alias("cluster"),
-                    F.col("b.dist").alias("dist")))
+            .select("vec_id", "v", "cents")
+            .mapInPandas(batches,
+                         schema="vec_id long, v array<double>, "
+                                "cluster long, dist double"))
 
 
 def update(assigned: DataFrame,

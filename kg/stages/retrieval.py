@@ -40,8 +40,13 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int,
                     F.split(F.lower(text_col), " ").alias("ws"))
     dl = d.select(id_col, F.size("ws").alias("dl"))
     st = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-    tf = (d.select(id_col, F.explode("ws").alias("term"))
-          .where(F.col("term").isin(list(terms)))
+    # r6: filter INSIDE the array before exploding — the old shape
+    # exploded every token into a row (10M rows at sf1.0) and then
+    # filtered; the higher-order filter keeps non-matching tokens
+    # from ever becoming rows, so explode emits only query-term hits
+    tf = (d.select(id_col,
+                   F.explode(F.filter(
+                       "ws", lambda w: w.isin(*terms))).alias("term"))
           .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     # association mirrors the oracle SQL exactly: ((idf·tf)·(k1+1))
