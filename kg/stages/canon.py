@@ -56,10 +56,19 @@ _NGRAMS_SQL = (
 
 #: w-word shingles over a space-split token array, each shingle hashed
 #: to int64 in the same expression — no string arrays materialize.
+#: r6: the hash is taken over the token SLICE directly instead of a
+#: concat_ws-joined string — identical identity (tokens are space-free,
+#: so the join was injective) without building ~|tokens| short strings
+#: per document just to hash and discard them (guide §2.3). The hash
+#: VALUES change, which re-randomizes LSH banding but not the verified
+#: output: candidates are exact-Jaccard-verified, and true near-dup
+#: pairs sit at J ≥ 0.9 where the b=32/r=4 miss probability is ~1e-15
+#: under ANY hash draw (outputs re-verified identical at
+#: sf0.01/0.1/1.0 for all three LSH consumers).
 _SHINGLES_SQL = (
     "array_distinct(transform("
     "sequence(1, greatest(size({t}) - {wm1}, 1)), "
-    "i -> xxhash64(concat_ws(' ', slice({t}, i, {w})))))"
+    "i -> xxhash64(slice({t}, i, {w}))))"
 )
 
 
@@ -174,11 +183,18 @@ def minhash_signatures(feats: DataFrame, feature: str = "char") -> DataFrame:
 def lsh_bands(signed: DataFrame) -> DataFrame:
     """C1b: slice each signature into b bands of r rows, hash each band
     JVM-side → (node, band, bhash) — 24-byte rows into the block join,
-    no payload columns ride the fan-out."""
+    no payload columns ride the fan-out.
+
+    r6: each band hashes its r signature lanes as r SCALAR xxhash64
+    arguments (element_at) instead of hashing a freshly-sliced
+    sub-array — same 64-bit bucket entropy, no per-band array
+    allocation (32 slices/row at H=128). Band values change; see the
+    _SHINGLES_SQL note for why the verified output does not."""
     r = spec.MINHASH_ROWS
     bands = F.array(*[
         F.struct(F.lit(i).alias("band"),
-                 F.xxhash64(F.slice("sig", i * r + 1, r)).alias("bhash"))
+                 F.xxhash64(*[F.element_at("sig", i * r + j + 1)
+                              for j in range(r)]).alias("bhash"))
         for i in range(spec.MINHASH_BANDS)])
     return (signed.select("node", F.explode(bands).alias("bb"))
             .select("node", "bb.band", "bb.bhash"))

@@ -31,7 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["word_ngrams", "benchmark_ngrams", "decontaminate"]
+__all__ = ["word_ngrams", "word_ngram_hashes", "benchmark_ngrams",
+           "decontaminate"]
 
 
 def word_ngrams(ws_col: str, n: int):
@@ -45,15 +46,40 @@ def word_ngrams(ws_col: str, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_ngram_hashes(ws_col: str, n: int):
+    """Sliding word n-grams as xxhash64 fingerprints of the n-word
+    SLICE (r6): gram identity is decided by hashing the token
+    sub-array directly, so no joined gram string is ever built — at
+    sf1.0 the corpus side materialized ~10M ~30-byte concat_ws
+    strings purely to be probed and discarded (guide §2.3/§4 — hash
+    the proxy, not the payload). Space-joined strings and token
+    slices identify the same grams here because tokens come from
+    split(text, ' ') and therefore contain no spaces (the join is
+    injective). Hash-as-identity is the repo's standing trust model
+    for content keys (canon.py node = xxhash64(norm), shingles =
+    xxhash64(w-word join)); a cross-gram collision against the
+    benchmark set is ~|corpus grams|·|bench grams|/2^64 ≈ 1e-8 at
+    sf1.0 — and the contract fixture is verified hash-identical to
+    the string implementation at sf0.01/0.1/1.0."""
+    return F.when(
+        F.size(ws_col) >= n,
+        F.expr(f"transform(sequence(1, size({ws_col}) - {n - 1}), "
+               f"i -> xxhash64(slice({ws_col}, i, {n})))")
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def benchmark_ngrams(bench: DataFrame, n: int,
                      text_col: str = "text") -> DataFrame:
-    """Distinct word n-grams of the benchmark corpus (column ``g``).
+    """Distinct word n-grams of the benchmark corpus (column ``g`` —
+    xxhash64 gram fingerprints since r6, see
+    :func:`word_ngram_hashes`; both sides of the overlap join use the
+    same function, so a match still means the SAME surface text).
     Lower-cased, whitespace-split — the same normalization the
-    training side applies, so a match means the SAME surface text.
-    The distinct is an exchange on the tiny eval side only."""
+    training side applies. The distinct is an exchange on the tiny
+    eval side only."""
     return (bench
             .withColumn("_ws", F.split(F.lower(text_col), " "))
-            .select(F.explode(word_ngrams("_ws", n)).alias("g"))
+            .select(F.explode(word_ngram_hashes("_ws", n)).alias("g"))
             .distinct())
 
 
@@ -71,7 +97,7 @@ def decontaminate(docs: DataFrame, bench_grams: DataFrame, n: int,
     the scale argument)."""
     dg = (docs
           .withColumn("_ws", F.split(F.lower(text_col), " "))
-          .select(id_col, word_ngrams("_ws", n).alias("gs"))
+          .select(id_col, word_ngram_hashes("_ws", n).alias("gs"))
           .select(id_col, F.explode_outer("gs").alias("g")))
     hit = (dg.join(F.broadcast(bench_grams.withColumn(
         "_dirty", F.lit(1))), "g", "left")

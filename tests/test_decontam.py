@@ -37,10 +37,20 @@ def fix(spark):
     return bench, docs, bg, out
 
 
-def test_bench_gram_set_is_the_sliding_window(fix):
+def test_bench_gram_set_is_the_sliding_window(fix, spark):
+    """The benchmark gram set is exactly the two sliding 5-gram
+    windows — asserted through the r6 hashed representation
+    (xxhash64 of the token slice, kg/stages/decontam.py
+    word_ngram_hashes): expected fingerprints are recomputed here
+    from the expected SURFACE grams with an independent expression,
+    so a change to the gram identity function cannot silently pass."""
     bg = {r["g"] for r in fix[2].collect()}
-    assert bg == {"alpha beta gamma delta epsilon",
-                  "beta gamma delta epsilon zeta"}
+    expected_grams = ["alpha beta gamma delta epsilon",
+                      "beta gamma delta epsilon zeta"]
+    want = {r["h"] for r in spark.createDataFrame(
+        [(g,) for g in expected_grams], "g string")
+        .select(F.xxhash64(F.split("g", " ")).alias("h")).collect()}
+    assert bg == want and len(bg) == 2
 
 
 def test_overlapping_doc_is_flagged_with_exact_counts(fix):
