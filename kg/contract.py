@@ -615,15 +615,18 @@ FROM documents
 """)
 def text_quality_score(spark, sf):
     """Quality scoring: token count, mean token length, stopword
-    ratio — the standard pretraining-corpus filters."""
+    ratio — the standard pretraining-corpus filters. r6: stopword
+    membership via ``isin`` (12 literals > the In→InSet threshold, so
+    each token probes a hash set) instead of array_contains scanning
+    the 12-element array per token — same membership, ~25% off the
+    scan."""
     words = F.split("text", " ")
-    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
     n = F.size(words)
     return (_t(spark, sf, "documents").select(
         "doc_id", n.alias("n_tokens"),
         F.round(F.length("text").cast("double") / n, 4)
          .alias("avg_tok_len"),
-        F.round(F.size(F.filter(words, lambda x: F.array_contains(stop, x)))
+        F.round(F.size(F.filter(words, lambda x: x.isin(*_STOPWORDS)))
                 .cast("double") / n, 4).alias("stopword_ratio")))
 
 
@@ -637,10 +640,10 @@ FROM documents
 """)
 def lang_id_heuristic(spark, sf):
     """Language ID via stopword-density heuristic (n-gram-free but the
-    same plumbing: JVM-side, no UDF)."""
+    same plumbing: JVM-side, no UDF). r6: InSet membership — see
+    text_quality_score."""
     words = F.split("text", " ")
-    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
-    ratio = (F.size(F.filter(words, lambda x: F.array_contains(stop, x)))
+    ratio = (F.size(F.filter(words, lambda x: x.isin(*_STOPWORDS)))
              .cast("double") / F.size(words))
     return (_t(spark, sf, "documents").select(
         "doc_id",
@@ -2130,7 +2133,12 @@ def min_label_prop_iter3(spark, sf):
     from kg.stages import graph
 
     li = _t(spark, sf, "lineitem")
-    p0 = li.select("l_suppkey", "l_partkey").distinct()
+    # localCheckpoint: p0 feeds BOTH the edge list and the decode
+    # dictionary, and the graph fn's internal materialization boundary
+    # hides the shared subtree from exchange reuse — without it the
+    # 6M-row distinct runs twice (measured 6.6 s → 4.8 s at sf1.0)
+    p0 = (li.select("l_suppkey", "l_partkey").distinct()
+          .localCheckpoint(eager=False))
     e0 = p0.select(_lpa_enc(1, F.col("l_suppkey")).alias("src"),
                    _lpa_enc(0, F.col("l_partkey")).alias("dst"))
     edges = e0.unionByName(e0.select(F.col("dst").alias("src"),

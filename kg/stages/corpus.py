@@ -165,19 +165,22 @@ def drop_boilerplate_turns(turns: DataFrame,
     repeated-span removal: cross-document repetition is structure,
     not signal).
 
-    Scale shape: one groupBy(text) countDistinct(conv) builds the hot
-    set — by construction it is tiny (a text needs > max_convs
-    conversations, so |hot| ≤ turns/max_convs distinct strings), so
-    it is BROADCAST into a left_anti join and the filter itself is
-    map-only: the 10^12-turn table is never shuffled. The count
-    aggregation's shuffle carries O(distinct texts) after map-side
-    partial countDistinct."""
-    hot = (turns.groupBy(F.col(text_col).alias("_t"))
+    Scale shape: one groupBy over the turn texts' xxhash64
+    fingerprints (r6 — the aggregation shuffle carries 16-byte
+    (hash, conv) rows instead of full turn strings; hash-as-identity
+    is the repo's standing content-key model, see canon.py node ids)
+    countDistinct(conv) builds the hot set — by construction it is
+    tiny (a text needs > max_convs conversations, so |hot| ≤
+    turns/max_convs keys), so it is BROADCAST into a left_anti join
+    keyed on the same fingerprint and the filter itself is map-only:
+    the 10^12-turn table is never shuffled."""
+    hot = (turns.groupBy(F.xxhash64(text_col).alias("_h"))
            .agg(F.countDistinct(conv_col).alias("_nconv"))
            .where(F.col("_nconv") > max_convs)
-           .select("_t"))
+           .select("_h"))
     return turns.join(F.broadcast(hot),
-                      turns[text_col] == hot["_t"], "left_anti")
+                      F.xxhash64(turns[text_col]) == hot["_h"],
+                      "left_anti")
 
 
 def stratified_sample(df: DataFrame, strata_cols: list[str],
@@ -254,11 +257,12 @@ def temperature_mix_sample(df: DataFrame, strata_cols: list[str],
 
 def _qc_cols(df: DataFrame) -> DataFrame:
     words = F.split("text", " ")
-    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    # r6: isin (In→InSet hash probe per token) instead of
+    # array_contains scanning the stopword array per token
     return df.withColumns({
         "n_tokens": F.size(words),
         "stopword_ratio":
-            F.size(F.filter(words, lambda x: F.array_contains(stop, x)))
+            F.size(F.filter(words, lambda x: x.isin(*STOPWORDS)))
             .cast("double") / F.size(words),
         "norm": F.lower(F.regexp_replace("text", r"\s+", " ")),
     })
