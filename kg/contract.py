@@ -1948,12 +1948,22 @@ def pagerank_iter3(spark, sf):
     from kg.stages import graph
 
     li = _t(spark, sf, "lineitem")
-    e0 = (li.select((F.col("l_suppkey") * 2).alias("src"),
-                    (F.col("l_partkey") * 2 + 1).alias("dst"))
-          .distinct())
+    # localCheckpoint: p0 feeds the edge list (twice, via the
+    # symmetrizing union) AND the node set below
+    p0 = (li.select("l_suppkey", "l_partkey").distinct()
+          .localCheckpoint(eager=False))
+    e0 = p0.select((F.col("l_suppkey") * 2).alias("src"),
+                   (F.col("l_partkey") * 2 + 1).alias("dst"))
     edges = e0.unionByName(e0.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # node set from the two key-space distincts (10k + 200k int rows
+    # off the checkpointed pair table) instead of a distinct over the
+    # 12M-row symmetrized edge list — same set: on a symmetrized
+    # bipartite edge list every supplier and every part appears
+    nodes = (p0.select((F.col("l_suppkey") * 2).alias("node"))
+             .distinct()
+             .unionByName(p0.select((F.col("l_partkey") * 2 + 1)
+                                    .alias("node")).distinct()))
     pr = graph.pagerank(nodes, edges, iters=3)
     node_s = F.when(
         F.col("node") % 2 == 0,
@@ -2143,7 +2153,13 @@ def min_label_prop_iter3(spark, sf):
                    _lpa_enc(0, F.col("l_partkey")).alias("dst"))
     edges = e0.unionByName(e0.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # node set from the two key-space distincts off p0 (10k + 200k
+    # int rows) instead of a 12M-row distinct over the symmetrized
+    # edge list — same set on a symmetrized bipartite graph
+    nodes = (p0.select(_lpa_enc(1, F.col("l_suppkey")).alias("node"))
+             .distinct()
+             .unionByName(p0.select(_lpa_enc(0, F.col("l_partkey"))
+                                    .alias("node")).distinct()))
     lab = graph.min_label_propagation(nodes, edges, iters=3)
     dic = (p0.select(
         _lpa_enc(1, F.col("l_suppkey")).alias("e"),
