@@ -5,11 +5,13 @@ join-aggregate shape GraphFrames' aggregateMessages lowers to.
 
 Dataflow per iteration (the plan you'd want on a billion-edge graph):
 
-    edges ⋈ pr (shuffle on the edge key)
-          ⋈ broadcast outdeg
-      → groupBy(dst) sum            (partial agg combines map-side)
-      → left join back to the node set (isolated in-degree keeps
-        teleport mass)
+    adjacency ⋈ state (two O(nodes) tables; the O(edges) multiset
+                       was grouped ONCE into per-src arrays)
+      → map-side explode of the destination arrays
+      → groupBy(dst) agg            (partial agg combines map-side;
+        seeded with per-node identity messages — 0.0 contributions /
+        self-labels — so the aggregate's key set IS the node set and
+        no join back to the node table is needed)
 
 N (node count) rides a broadcast 1-row cross join — never a collect.
 Fixed unrolled iterations keep everything one declarative plan; for
@@ -78,17 +80,23 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 3,
     ncnt = nodes.select(F.count("*").alias("n"))
     pr = (nodes.crossJoin(F.broadcast(ncnt))
           .select("node", (F.lit(1.0) / F.col("n")).alias("pr")))
+    # zero-message seeding (r6): every node contributes an explicit
+    # 0.0 into its own message sum, so the aggregate's key set IS the
+    # node set and the former per-iteration `nodes LEFT JOIN summed`
+    # disappears — one join + one aggregate per iteration. IEEE
+    # addition with +0.0 is the identity, so the sums are unchanged
+    # (contributions are strictly positive; no -0.0 can arise).
+    zeros = nodes.select("node", F.lit(0.0).alias("c"))
     for i in range(iters):
         contrib = (adj.join(pr, adj.src == pr.node)
                    .select(F.explode("_dsts").alias("node"),
                            (F.col("pr") / F.col("_outdeg")).alias("c")))
-        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        pr = (nodes.join(summed, "node", "left")
-              .crossJoin(F.broadcast(ncnt))
+        summed = (contrib.unionByName(zeros)
+                  .groupBy("node").agg(F.sum("c").alias("s")))
+        pr = (summed.crossJoin(F.broadcast(ncnt))
               .select("node",
                       (F.lit(TELEPORT) / F.col("n")
-                       + DAMP * F.coalesce(F.col("s"), F.lit(0.0)))
-                      .alias("pr")))
+                       + DAMP * F.col("s")).alias("pr")))
         if checkpoint_every and (i + 1) % checkpoint_every == 0 \
                 and i + 1 < iters:
             pr = pr.localCheckpoint(eager=True)
@@ -110,47 +118,48 @@ def min_label_propagation(nodes: DataFrame, edges: DataFrame,
     connected-component minimum.
 
     Plan per round (same aggregateMessages lowering as
-    :func:`pagerank`): edges ⋈ labels (shuffle on the edge key) →
-    groupBy(dst) min (partial agg combines map-side) → left join back
-    to the node set, ``least`` with the node's own label. String
-    labels compare bytewise in both Spark and DuckDB, so the min is
-    engine-independent. Returns (node, label).
-    ``materialize_inputs``: see :func:`pagerank`.
-
-    r6: the same adjacency-list iteration shape as :func:`pagerank`
-    (see its docstring) — edges pre-grouped once per src, each round
-    joins two O(nodes) tables and explodes the destination arrays
-    map-side into the partial min-aggregate, instead of re-shuffling
-    the O(edges) list every round.
-
-    Unlike pagerank (whose iteration reads ``pr`` ONCE, so the lazy
-    unrolled lineage stays linear), a label round reads ``lab``
-    twice — through the neighbor messages AND as the join's probe
-    side for the `least` — so a fully-lazy unroll duplicates the
-    whole prior-round subtree per reference: 2^iters copies, measured
-    as 21 s for 3 rounds at sf0.1 where ~6 s is the real work. Each
-    round's result is therefore localCheckpointed by default
-    (``checkpoint_every=1``, lazily — no extra jobs), which is also
-    what keeps a convergence-driven run's lineage bounded."""
+    :func:`pagerank`): adjacency ⋈ labels (two O(nodes) tables; the
+    O(edges) multiset is pre-grouped once per src, WITH a self-loop
+    per node so each node's own label rides the message stream) →
+    map-side explode → groupBy(dst) min (partial agg combines
+    map-side). The self-loop makes the aggregate itself compute
+    min({own} ∪ in-neighbor labels), so there is no ``least``
+    left-join back to the state, the state is read once per round,
+    and the unrolled lineage stays LINEAR like pagerank's (the former
+    double-read shape duplicated the prior-round subtree per
+    reference — 2^iters copies, measured 21 s for 3 rounds at sf0.1
+    where ~6 s was real work — and had to localCheckpoint every
+    round to contain it; the default is now no per-round
+    checkpointing). String labels compare bytewise in both Spark and
+    DuckDB, so the min is engine-independent. Returns (node, label).
+    ``materialize_inputs``: see :func:`pagerank`. Pass
+    ``checkpoint_every`` to bound lineage on long convergence-driven
+    runs."""
     if materialize_inputs:
         nodes = _materialize(nodes)
-    adj = edges.groupBy("src").agg(F.collect_list("dst").alias("_dsts"))
+    # self-loop seeding (r6): fold every node's OWN label into the
+    # message stream by appending a v→v edge before grouping, so
+    #   label(v, t) = min over messages = min({own} ∪ in-nbr labels)
+    # exactly as before, but a round is ONE join + ONE aggregate —
+    # the `least` left-join back to the state is gone, the state is
+    # read ONCE per round, and the unrolled lineage is linear (the
+    # former double-read made it 2^iters, forcing a localCheckpoint
+    # every round; the default is now no checkpointing, matching
+    # pagerank — pass checkpoint_every for long convergence runs).
+    adj = (edges.unionByName(
+        nodes.select(F.col("node").alias("src"),
+                     F.col("node").alias("dst")))
+        .groupBy("src").agg(F.collect_list("dst").alias("_dsts")))
     if materialize_inputs:
         adj = _materialize(adj)
     lab = nodes.select("node", F.col("node").alias("label"))
     if checkpoint_every is None:
-        checkpoint_every = 1
+        checkpoint_every = 0
     for i in range(iters):
-        msgs = (adj.join(lab, adj.src == lab.node)
-                .select(F.explode("_dsts").alias("node"), "label")
-                .groupBy("node")
-                .agg(F.min("label").alias("nbr_min")))
-        lab = (lab.join(msgs, "node", "left")
-               .select("node",
-                       F.least(F.col("label"),
-                               F.coalesce(F.col("nbr_min"),
-                                          F.col("label")))
-                       .alias("label")))
+        lab = (adj.join(lab, adj.src == lab.node)
+               .select(F.explode("_dsts").alias("node"), "label")
+               .groupBy("node")
+               .agg(F.min("label").alias("label")))
         if checkpoint_every and (i + 1) % checkpoint_every == 0 \
                 and i + 1 < iters:
             lab = _materialize(lab)
