@@ -336,16 +336,43 @@ def simhash64(docs: DataFrame, text_col: str = "text",
         raise ValueError(f"unknown word_hash {word_hash!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r6: one vectorized pass per chunk instead of a per-row loop
+        # (same 0/1 integer sums via add.reduceat — bit-identical
+        # signatures, the per-row python/numpy dispatch was ~60% of
+        # the stage); chunked so the bit matrix stays ~32 MB.
         shifts = np.arange(n_bits, dtype=np.uint64)
+        max_feats = 64_000
         for pdf in it:
-            out = np.empty(len(pdf), dtype=np.int64)
-            for i, hs in enumerate(pdf["hashes"]):
-                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
-                bits = (h[:, None] >> shifts) & np.uint64(1)
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_col: pdf[id_col],
+                                    "simhash": pd.Series(dtype=np.int64)})
+                continue
+            feats = [np.asarray(hs, dtype=np.int64).view(np.uint64)
+                     for hs in pdf["hashes"]]
+            lens = np.fromiter((len(f) for f in feats), dtype=np.int64,
+                               count=len(feats))
+            out = np.empty(len(feats), dtype=np.int64)
+            row = 0
+            while row < len(feats):
+                end = row
+                total = 0
+                while end < len(feats) and (total == 0
+                                            or total + lens[end]
+                                            <= max_feats):
+                    total += lens[end]
+                    end += 1
+                flat = np.concatenate(feats[row:end])
+                bits = (flat[:, None] >> shifts) & np.uint64(1)
+                offsets = np.zeros(end - row, dtype=np.int64)
+                np.cumsum(lens[row:end - 1] if end - row > 1 else [],
+                          out=offsets[1:])
+                sums = np.add.reduceat(bits, offsets, axis=0) \
+                    .astype(np.int64)
                 # signed: uint64 would wrap negative vote sums
-                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)
-                out[i] = ((votes > 0).astype(np.uint64)
-                          << shifts).sum().astype(np.int64)
+                votes = sums * 2 - lens[row:end, None]
+                out[row:end] = ((votes > 0).astype(np.uint64)
+                                << shifts).sum(axis=1).astype(np.int64)
+                row = end
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
     return (docs.select(id_col, hashes.alias("hashes"))
@@ -414,30 +441,54 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     iterations; entity-variant clusters are tiny, so this is 2–4
     rounds in practice. localCheckpoint per round keeps the plan flat
     (SURVEY.md §4).
-    """
-    sym = (edges.select("src", "dst")
+
+    r6 round shape (the kg/stages/graph.py discipline): the
+    symmetrized edge multiset is grouped ONCE into per-src adjacency
+    sets with a self-loop folded in (collect_set dedups, replacing
+    the former dropDuplicates shuffle; the self-loop makes the
+    message aggregate itself compute min(own ∪ neighbors)), so each
+    round is ONE join of two O(nodes) tables + ONE aggregate —
+    the former shape re-shuffled the O(edges) list every round and
+    then paid a second join per round just to detect convergence.
+    Convergence is now read off an exact decimal(38) aggregate of the
+    checkpointed labels instead: labels are monotonically
+    non-increasing (every node's message set includes itself), so
+    (sum, count) unchanged across a round ⟺ no label changed — a
+    columnar scan of cached blocks, no join, no extra lineage."""
+    self_e = nodes.select(F.col("node").alias("src"),
+                          F.col("node").alias("dst"))
+    adj = (edges.select("src", "dst")
            .union(edges.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
-           .dropDuplicates(["src", "dst"])
+           .union(self_e)
+           .groupBy("src").agg(F.collect_set("dst").alias("_dsts"))
+           # self-loop for every adjacency row — nodes get it via
+           # self_e; a malformed-input endpoint outside ``nodes``
+           # gets it here, keeping label monotonicity (and thereby
+           # the sum-based convergence test) valid on ANY input
+           .withColumn("_dsts", F.array_union(
+               "_dsts", F.array(F.col("src"))))
            .localCheckpoint())
-    if sym.isEmpty():
-        return nodes.select("node", F.col("node").alias("component"))
     labels = nodes.select("node", F.col("node").alias("component"))
     labels = labels.localCheckpoint()
+
+    def _sig(lab: DataFrame) -> tuple:
+        r = lab.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n")).first()
+        return (r["s"], r["n"])
+
+    prev = _sig(labels)
     for _ in range(max_iter):
-        msgs = (sym.join(labels, sym.src == labels.node)
-                .select(F.col("dst").alias("node"), "component"))
-        new_labels = (labels.select("node", "component").union(msgs)
-                      .groupBy("node")
-                      .agg(F.min("component").alias("component")))
-        new_labels = new_labels.localCheckpoint()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
-        labels = new_labels
-        if changed == 0:
+        labels = (adj.join(labels, adj.src == labels.node)
+                  .select(F.explode("_dsts").alias("node"), "component")
+                  .groupBy("node")
+                  .agg(F.min("component").alias("component"))
+                  .localCheckpoint())
+        cur = _sig(labels)
+        if cur == prev:
             break
+        prev = cur
     else:
         # Silent truncation would return WRONG labels (stale
         # components) and surface only as a downstream mismatch.
