@@ -141,7 +141,7 @@ def _minhash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     max_feats = 64_000  # 64k × 128 × 8 B ≈ 64 MB temp
     for pdf in it:
         if len(pdf) == 0:
-            yield pd.DataFrame({"norm": pdf.get("norm", pd.Series(dtype=str)),
+            yield pd.DataFrame({"node": pd.Series(dtype=np.int64),
                                 "sig": pd.Series(dtype=object)})
             continue
         feats = [np.asarray(f, dtype=np.int64).view(np.uint64)
@@ -165,19 +165,24 @@ def _minhash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             sigs[row:end] = np.minimum.reduceat(
                 h, offsets, axis=0).astype(np.int64)
             row = end
-        yield pd.DataFrame({"norm": pdf["norm"],
+        yield pd.DataFrame({"node": pdf["node"],
                             "sig": list(sigs)})
 
 
 def minhash_signatures(feats: DataFrame, feature: str = "char") -> DataFrame:
     """C1a: (node, norm, f) — or a bare ``norm`` column, in which case
-    :func:`node_features` runs first — → (node, norm, sig[H])."""
+    :func:`node_features` runs first — → (node, sig[H]).
+
+    r6: only (node, f) crosses the Arrow boundary — the norm string
+    (a full document for word-feature callers) used to ride into
+    Python and back purely to re-derive node on the way out; every
+    consumer keys on node, and callers needing the node → norm map
+    read it off the feature table they already hold."""
     if "f" not in feats.columns:
         feats = node_features(feats, feature=feature)
-    return (feats.select("norm", "f")
+    return (feats.select("node", "f")
             .mapInPandas(_minhash_batches,
-                         schema="norm string, sig array<long>")
-            .withColumn("node", F.xxhash64("norm")))
+                         schema="node long, sig array<long>"))
 
 
 def lsh_bands(signed: DataFrame) -> DataFrame:
@@ -674,12 +679,14 @@ def canonicalize_norms(norms: DataFrame, dict_df: DataFrame,
     else through the distributed join/aggregate path below.
     """
     feats = node_features(norms).persist()
-    signed = minhash_signatures(feats).persist()
-    banded = lsh_bands(signed).persist()
+    # signatures feed only the banding (r6: they carry node, not
+    # norm — see minhash_signatures); the node → norm map below
+    # reads off the persisted feature table instead
+    banded = lsh_bands(minhash_signatures(feats)).persist()
     edges = verify_pairs(candidate_pairs(banded), feats)
 
     if driver_max_nodes > 0:
-        probe = (signed.select("norm", "node")
+        probe = (feats.select("norm", "node")
                  .limit(driver_max_nodes + 1).collect())
         if len(probe) <= driver_max_nodes:
             # probe the EDGE count too: node count alone doesn't bound
@@ -697,9 +704,9 @@ def canonicalize_norms(norms: DataFrame, dict_df: DataFrame,
                 return spark.createDataFrame(
                     mapping, "norm string, entity string")
 
-    comps = connected_components(signed.select("node"), edges)
+    comps = connected_components(feats.select("node"), edges)
 
-    labeled = (signed.select("norm", "node")
+    labeled = (feats.select("norm", "node")
                .join(comps, "node", "left")
                .withColumn("component",
                            F.coalesce("component", "node")))

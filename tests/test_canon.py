@@ -135,7 +135,7 @@ def test_lsh_blocks_variant_pairs(spark):
     edges = canon.verify_pairs(
         canon.candidate_pairs(canon.lsh_bands(signed)), feats, tau=0.5)
     norm_of = {r["node"]: r["norm"]
-               for r in signed.select("node", "norm").collect()}
+               for r in feats.select("node", "norm").collect()}
     pairs = {tuple(sorted((norm_of[r["src"]], norm_of[r["dst"]])))
              for r in edges.collect()}
     assert ("acme corp", "the acme corp") in pairs
@@ -247,9 +247,10 @@ def test_simhash_near_pairs_block_cap(spark):
 def test_minhash_deterministic(spark):
     norms = spark.createDataFrame([("acme corp",), ("dataquill",)],
                                   "norm string")
-    a = {r["norm"]: r["sig"] for r in canon.minhash_signatures(norms).collect()}
-    b = {r["norm"]: r["sig"] for r in canon.minhash_signatures(norms).collect()}
+    a = {r["node"]: r["sig"] for r in canon.minhash_signatures(norms).collect()}
+    b = {r["node"]: r["sig"] for r in canon.minhash_signatures(norms).collect()}
     assert a == b
+    assert len(a) == 2
     assert all(len(s) == 128 for s in a.values())
 
 
