@@ -28,6 +28,27 @@ from pyspark.sql import DataFrame, functions as F
 from kg.stages.graph import _materialize
 
 
+def _nearest(v, cmat):
+    """Shared distance/argmin kernel for :func:`assign` and
+    :func:`assign_update` — ONE definition so the two paths can never
+    drift: the accumulator adds (v[j]−c[j])² in the same index order
+    as the Catalyst zip_with/aggregate left fold, np.sqrt is the same
+    IEEE correctly-rounded op, and np.argmin's first-minimum
+    tie-break equals the (dist, cid) struct ordering because centroid
+    rows arrive cid-sorted from :func:`fold_centroids`."""
+    import numpy as np
+
+    n = len(v)
+    d = np.empty((n, len(cmat)))
+    for k in range(len(cmat)):
+        acc = np.zeros(n)
+        for j in range(cmat.shape[1]):
+            t = v[:, j] - cmat[k, j]
+            acc += t * t
+        d[:, k] = np.sqrt(acc)
+    return np.argmin(d, axis=1), d
+
+
 def fold_centroids(long_cents: DataFrame) -> DataFrame:
     """(cluster, pos, val) long form → ONE row with
     ``cents: array<struct<cid, cv:array<double>>>`` sorted by cid —
@@ -80,14 +101,7 @@ def assign(emb: DataFrame, cent_row: DataFrame) -> DataFrame:
                                  for c in cents])
             v = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             n = len(v)
-            d = np.empty((n, len(cmat)))
-            for k in range(len(cmat)):
-                acc = np.zeros(n)
-                for j in range(cmat.shape[1]):
-                    t = v[:, j] - cmat[k, j]
-                    acc += t * t
-                d[:, k] = np.sqrt(acc)
-            best = np.argmin(d, axis=1)
+            best, d = _nearest(v, cmat)
             yield pd.DataFrame({"vec_id": pdf["vec_id"],
                                 "v": pdf["v"],
                                 "cluster": cids[best],
@@ -98,6 +112,71 @@ def assign(emb: DataFrame, cent_row: DataFrame) -> DataFrame:
             .mapInPandas(batches,
                          schema="vec_id long, v array<double>, "
                                 "cluster long, dist double"))
+
+
+def assign_update(emb: DataFrame, cent_row: DataFrame,
+                  round_to: int | None = None) -> DataFrame:
+    """Fused Lloyd iteration data pass (r6, guide §2.3/§4.2):
+    assignment AND per-batch partial centroid sums in ONE mapInPandas,
+    emitting (cluster, pos, psum, pcnt) — K×dim rows PER ARROW BATCH
+    into the update aggregate instead of returning every vector
+    through Arrow and posexploding n×dim value rows into the shuffle.
+    The mean is then sum(psum)/sum(pcnt).
+
+    Same distance/argmin arithmetic as :func:`assign` (shared helper).
+    The mean's floating-point summation ORDER changes (numpy column
+    sums per batch, then a sum over batch partials, vs Spark's avg
+    over shuffled rows) — summation order was already partition-
+    dependent and engine-dependent, which is exactly why every
+    consumer rounds each iteration's means (``round_to``); the ~1e-15
+    order drift sits 9+ digits under that grain. Certified against
+    the DuckDB oracle (kmeans_iter3) and the lloyd(1) ≡ update∘assign
+    pin like the unfused path."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it):
+        cids = cmat = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if cmat is None:
+                cents = pdf["cents"].iloc[0]
+                cids = np.array([c["cid"] for c in cents],
+                                dtype=np.int64)
+                cmat = np.stack([np.asarray(c["cv"], dtype=np.float64)
+                                 for c in cents])
+            v = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            best = _nearest(v, cmat)[0]
+            dim = cmat.shape[1]
+            out_c, out_p, out_s, out_n = [], [], [], []
+            for k in range(len(cmat)):
+                mask = best == k
+                n = int(mask.sum())
+                if n == 0:
+                    continue
+                s = v[mask].sum(axis=0)
+                out_c.append(np.full(dim, cids[k], dtype=np.int64))
+                out_p.append(np.arange(dim, dtype=np.int32))
+                out_s.append(s)
+                out_n.append(np.full(dim, n, dtype=np.int64))
+            yield pd.DataFrame({"cluster": np.concatenate(out_c),
+                                "pos": np.concatenate(out_p),
+                                "psum": np.concatenate(out_s),
+                                "pcnt": np.concatenate(out_n)})
+
+    m = F.sum("psum") / F.sum("pcnt")
+    if round_to is not None:
+        m = F.round(m, round_to)
+    # pos as int matches update()'s posexplode output type, so the
+    # fused and unfused paths produce schema-identical centroids
+    return (emb.crossJoin(F.broadcast(cent_row))
+            .select("v", "cents")
+            .mapInPandas(batches,
+                         schema="cluster long, pos int, "
+                                "psum double, pcnt long")
+            .groupBy("cluster", "pos")
+            .agg(m.alias("val")))
 
 
 def update(assigned: DataFrame,
@@ -134,6 +213,6 @@ def lloyd(emb: DataFrame, seed_cents: DataFrame, iters: int = 3,
         emb = _materialize(emb)
     cents = seed_cents
     for _ in range(iters):
-        cents = update(assign(emb, fold_centroids(cents)),
-                       round_to=round_to)
+        cents = assign_update(emb, fold_centroids(cents),
+                              round_to=round_to)
     return cents
