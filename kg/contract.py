@@ -1251,7 +1251,12 @@ def ann_ivf_topk(spark, sf):
     from kg.stages import ann
 
     e = _t(spark, sf, "embeddings")
-    top = ann.ivf_topk_self_join(e, n_cells=16, nprobe=2, k=3, seed=7)
+    # q_filter (r6): the declared output reads only queries q < 50 —
+    # pushing that predicate to the probe side (the same move as
+    # ann_bucket_join's q_filter) keeps the inverted lists full while
+    # the candidate join and re-rank run on 50 queries, not all n
+    top = ann.ivf_topk_self_join(e, n_cells=16, nprobe=2, k=3, seed=7,
+                                 q_filter="q < 50")
     return (top.where("q < 50")
             .select("q", "c", F.round("cos", 4).alias("cos"), "rnk")
             .orderBy("q", "rnk"))

@@ -281,7 +281,8 @@ def ivf_cells(vecs: DataFrame, centroids: np.ndarray,
 def ivf_topk_self_join(vecs: DataFrame, id_col: str = "vec_id",
                        emb_col: str = "embedding", *,
                        n_cells: int = 32, nprobe: int = 2, k: int = 10,
-                       seed: int = 7) -> DataFrame:
+                       seed: int = 7,
+                       q_filter: str | None = None) -> DataFrame:
     """IVF variant of the many-to-many ANN — **the documented scale
     default** (module docstring, r5): a sampled spherical-k-means
     coarse quantizer shards the corpus into inverted lists; every
@@ -302,6 +303,14 @@ def ivf_topk_self_join(vecs: DataFrame, id_col: str = "vec_id",
     members = (cells.where(F.col("rank") == 0)
                .select(F.col(id_col).alias("c"), "cell"))
     probes = cells.select(F.col(id_col).alias("q"), "cell")
+    if q_filter:
+        # SQL boolean over the query column ``q`` (e.g. "q < 50") —
+        # same contract as candidate_pairs' q_filter: per-query top-k
+        # is independent, so restricting the PROBE side is output-
+        # identical for the surviving queries while the candidate
+        # join/re-rank volume drops by the subset's selectivity; the
+        # member (inverted-list) side stays the full corpus.
+        probes = probes.where(q_filter)
     pairs = (probes.join(members, "cell")
              .where(F.col("q") != F.col("c"))
              .select("q", "c").dropDuplicates(["q", "c"]))
