@@ -2001,44 +2001,40 @@ def pagerank_iter3(spark, sf):
                      F.round("pr", 6).alias("pr"))
 
 
-def _kmeans_assignment(spark, sf) -> DataFrame:
+def _kmeans_assignment(spark, sf, keep_v: bool = False) -> DataFrame:
     """Shared Lloyd assignment sub-plan for kmeans_assign /
     kmeans_update (one definition so a tie-break or cast change can
     never skew the two entries apart): nearest of K=8 deterministic
     seed centroids (the embeddings with vec_id < 8) by Euclidean
-    distance. Returns (vec_id, cluster, dist — unrounded).
+    distance. Returns (vec_id, cluster, dist — unrounded), plus the
+    vector itself when ``keep_v`` (lets kmeans_update posexplode the
+    assignment output directly instead of re-joining the embedding
+    scan).
 
     Genuinely map-only on the data path: the 8 centroids fold into
-    ONE array-of-structs row (sort_array fixes their order), broadcast
-    via a 1-row cross join, and the argmin is array_min over
-    per-centroid (dist, cid) structs — struct ordering compares dist
-    first, then cid, which IS the deterministic tie-break. The vector
-    scan therefore carries no exchange and no per-vector window (an
-    earlier draft used row_number over vec_id, which silently added an
-    Exchange hashpartitioning(vec_id) — the plan audit caught the
-    docstring claiming map-only while the plan shuffled). Arithmetic
-    pinned to double on BOTH engines: float32 accumulation at dim 64
-    would drift past the 4-decimal output grain; in double the
-    cross-engine ulp gap is ~1e-14."""
+    ONE array-of-structs row (sort_array fixes their order),
+    broadcast via a 1-row cross join; the distance argmin is
+    kg/stages/kmeans.assign's vectorized numpy kernel (r6 — the
+    former Catalyst zip_with/aggregate form evaluated K·dim ≈ 512
+    interpreted ops per vector; the kernel is documented and pinned
+    BIT-IDENTICAL to it: same left-fold accumulation order, same
+    IEEE sqrt, argmin-first-minimum ≡ the (dist, cid) struct
+    tie-break on cid-sorted centroid rows). The vector scan carries
+    no exchange and no per-vector window. Arithmetic pinned to double
+    on BOTH engines: float32 accumulation at dim 64 would drift past
+    the 4-decimal output grain; in double the cross-engine ulp gap is
+    ~1e-14."""
+    from kg.stages import kmeans
+
     emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cent_arr = (emb.where(F.col("vec_id") < 8)
                 .agg(F.sort_array(F.collect_list(F.struct(
                     F.col("vec_id").alias("cid"),
                     F.col("v").alias("cv")))).alias("cents")))
-
-    def dist_to(c):
-        return F.sqrt(F.aggregate(
-            F.zip_with("v", c["cv"], lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x))
-
-    best = F.array_min(F.transform(
-        "cents", lambda c: F.struct(dist_to(c).alias("dist"),
-                                    c["cid"].alias("cid"))))
-    return (emb.crossJoin(F.broadcast(cent_arr))
-            .select("vec_id", best.alias("b"))
-            .select("vec_id", F.col("b.cid").alias("cluster"),
-                    F.col("b.dist").alias("dist")))
+    a = kmeans.assign(emb, cent_arr)
+    cols = (["vec_id", "v"] if keep_v else ["vec_id"])
+    return a.select(*cols, "cluster", "dist")
 
 
 @q("kmeans_assign", """
@@ -2086,10 +2082,10 @@ def kmeans_update(spark, sf):
     the cluster instead of K hot groups. `+ 0` after rounding
     normalizes IEEE negative zero (a mean of ~0 can round to -0.0,
     and -0.0 vs 0.0 hash differently despite comparing equal)."""
-    emb = _t(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    assign = _kmeans_assignment(spark, sf).select("vec_id", "cluster")
-    return (assign.join(emb, "vec_id")
+    # keep_v (r6): the assignment pass already carries each vector —
+    # posexplode it directly instead of re-joining the embedding scan
+    assign = _kmeans_assignment(spark, sf, keep_v=True)
+    return (assign
             .select("cluster", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster", "pos")
             .agg((F.round(F.avg("val"), 4) + F.lit(0.0))
