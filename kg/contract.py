@@ -1884,14 +1884,18 @@ def tfidf_top_terms(spark, sf):
     TF-IDF (tf · ln(N/df)) — the classic relevance weighting, and the
     canonical two-aggregation + broadcast-scalar + window shape.
 
-    Plan at scale: one tokenize scan feeds BOTH aggregations (term
-    counts per doc, document frequency per term); N arrives as a
-    broadcast 1-row cross join (never a collect); the per-doc top-k
-    window adds its own doc_id exchange AFTER the (doc_id, term) tf
-    aggregation — hashpartitioning(doc_id, term) does not satisfy the
-    window's ClusteredDistribution(doc_id), so no exchange reuse
-    happens (plan-verified); the extra shuffle moves one already-
-    aggregated ~30-byte row per (doc, term), trivial at any scale.
+    Plan at scale (r6): ONE tokenize scan and ONE O(tokens)
+    aggregation — document frequency is counted off the tf table
+    itself (one row per (doc, term), so rows-per-term IS
+    countDistinct(doc_id)), and the tf exchange is reused for both
+    consumers instead of a second full explode + distinct-aggregate;
+    N arrives as a broadcast 1-row cross join (never a collect); the
+    per-doc top-k window adds its own doc_id exchange AFTER the
+    (doc_id, term) tf aggregation — hashpartitioning(doc_id, term)
+    does not satisfy the window's ClusteredDistribution(doc_id), so
+    no exchange reuse happens there (plan-verified); that shuffle
+    moves one already-aggregated ~30-byte row per (doc, term),
+    trivial at any scale.
     Ordering is deterministic under ties
     (score DESC, term ASC) and the score is rounded to 6 decimals on
     BOTH engines before ranking, so rank and hash are stable across
@@ -1900,8 +1904,13 @@ def tfidf_top_terms(spark, sf):
     tok = docs.select("doc_id", F.explode(F.split("text", " "))
                       .alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = tok.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df"))
+    # df off tf, not off the raw token stream (r6): tf holds exactly
+    # one row per (doc, term), so count(rows) per term IS
+    # countDistinct(doc_id) — the second full explode + distinct-
+    # aggregate over O(tokens) collapses to a count over the already-
+    # aggregated O(doc·uniq-terms) table, and the tf exchange is
+    # reused for both consumers
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.select(F.count("*").alias("n"))
     s = (tf.join(df_, "term").crossJoin(F.broadcast(n))
          .withColumn("tfidf", F.round(
