@@ -338,10 +338,17 @@ def udtf_tokenize(spark, sf):
 
     spark.udtf.register("kg_tokenize_udtf", Tokenize)
     _t(spark, sf, "documents").createOrReplaceTempView("documents_udtf")
+    # the id predicate is applied BEFORE the lateral join (r6):
+    # Catalyst does not push a filter below BatchEvalPythonUDTF, so
+    # the WHERE-after-lateral form shipped the ENTIRE documents table
+    # through the Python UDTF to keep 20 docs ([BatchEvalPythonUDTF →
+    # Filter] became [Filter/PushedFilters → BatchEvalPythonUDTF];
+    # the parquet scan now prunes too)
     return spark.sql("""
         SELECT d.doc_id, u.pos, u.word
-        FROM documents_udtf d, LATERAL kg_tokenize_udtf(d.text) u
-        WHERE d.doc_id < 20
+        FROM (SELECT doc_id, text FROM documents_udtf
+              WHERE doc_id < 20) d,
+             LATERAL kg_tokenize_udtf(d.text) u
     """)
 
 

@@ -81,7 +81,16 @@ def gopher_quality_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
         | l.startswith("• ")))
     n_ellipsis = F.size(F.filter(
         lines, lambda l: l.endswith("...") | l.endswith("…")))
-    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    # contains-an-ASCII-letter via translate length delta (r6): same
+    # boolean as rlike("[A-Za-z]") — translate strips exactly those
+    # 52 chars, so the length shrinks iff at least one is present —
+    # without running the regex engine once per word (the oracle
+    # keeps regexp_matches and hash-verifies the equivalence)
+    _alpha = ("abcdefghijklmnopqrstuvwxyz"
+              "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+    n_alpha = F.size(F.filter(
+        words, lambda w: F.length(w) != F.length(
+            F.translate(w, _alpha, ""))))
     out = df.withColumns({
         "mean_word_len": F.round(sum_len / n_words, 4),
         "symbol_ratio": F.round(n_sym / n_words, 4),
